@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Headline benchmark: DAVIS-480p two-pass VNLB denoising throughput.
+
+Prints ONE JSON line:
+  {"metric": "davis480p_fps", "value": N, "unit": "frames/sec",
+   "vs_baseline": N/30}
+
+Baseline context (BASELINE.md): the reference C++/OpenMP and Python+GPU
+implementations both take ~2m25s for a 5-frame DAVIS-480p clip at sigma=20
+(~0.034 fps); the driver's north-star target is >=30 fps on one TPU v5e chip.
+All progress prints go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t = int(os.environ.get("VNLB_BENCH_FRAMES", "5"))
+    h = int(os.environ.get("VNLB_BENCH_H", "480"))
+    w = int(os.environ.get("VNLB_BENCH_W", "854"))
+    sigma = float(os.environ.get("VNLB_BENCH_SIGMA", "20"))
+    preset = os.environ.get("VNLB_BENCH_PRESET", "iphone")
+    reps = int(os.environ.get("VNLB_BENCH_REPS", "2"))
+
+    import jax
+
+    from vnlb_tpu import denoise
+    from vnlb_tpu.testing.data import add_noise, synthetic_video
+    from vnlb_tpu.utils.metrics import compute_psnr
+
+    log(f"[bench] devices: {jax.devices()}")
+    log(f"[bench] clip: t={t} {h}x{w} sigma={sigma} preset={preset}")
+
+    clean = synthetic_video(t, h, w, seed=0)
+    noisy = add_noise(clean, sigma, seed=1)
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    deno, basic, _ = denoise(noisy, sigma, preset=preset)
+    log(f"[bench] warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    log(f"[bench] psnr noisy={compute_psnr(noisy, clean):.2f} "
+        f"basic={compute_psnr(np.asarray(basic), clean):.2f} "
+        f"deno={compute_psnr(np.asarray(deno), clean):.2f} dB")
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        deno, basic, _ = denoise(noisy, sigma, preset=preset)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        log(f"[bench] rep {i}: {dt:.3f}s ({t / dt:.3f} fps)")
+
+    best = min(times)
+    fps = t / best
+    print(json.dumps({"metric": "davis480p_fps", "value": round(fps, 4),
+                      "unit": "frames/sec",
+                      "vs_baseline": round(fps / 30.0, 4)}))
+
+
+if __name__ == "__main__":
+    main()

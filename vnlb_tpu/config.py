@@ -1,0 +1,151 @@
+"""Configuration system for the TPU-native VNLB pipeline.
+
+Re-design of the reference flag system (reference: lib/vnlb/params.py:11-100):
+the reference keeps a dict of ``[step0, step1]`` lists plus a hidden hardcoded
+preset string (``params.py:58``).  Here every knob is an explicit frozen
+dataclass field; presets are named constructors and the preset is an explicit
+argument of the public API.  A frozen, hashable config doubles as the static
+argument for ``jax.jit`` so that each (video-shape, stage-config) pair compiles
+exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+PRESETS = ("default", "exp", "sss", "sss_v2", "iphone")
+
+
+@dataclasses.dataclass(frozen=True)
+class StageConfig:
+    """All parameters of ONE denoising pass (reference: params.py:11-50 picks
+    the ``[step]`` element of each 2-list via VnlbArgs, params.py:102-214).
+
+    Shapes/semantics notes
+    ----------------------
+    * ``ps``/``pt``       : spatial / temporal patch size (sizePatch/-Time).
+    * ``npatches``        : K, the number of similar patches per group.
+    * ``w_s``             : spatial search window diameter (sizeSearchWindow).
+    * ``nwt_f``/``nwt_b`` : forward/backward temporal search radius.
+    * ``rank``            : retained eigenvector count (low-rank prior).
+    * ``thresh``          : eigenvalue gate multiplier (variThres).
+    * ``gamma``           : flat-area variance threshold multiplier.
+    * ``offset``          : bias subtracted from normalized patch distances.
+    * ``step_s``          : coverage-lattice stride (procStep).
+    * ``dist_chnls``      : channels used by the patch distance (the C++
+                            algorithm searches on Y only in step 0 and on all
+                            channels of the basic estimate in step 1).
+    """
+
+    step: int
+    sigma: float
+    sigma_basic: float
+    ps: int = 7
+    pt: int = 2
+    npatches: int = 100
+    w_s: int = 27
+    nwt_f: int = 6
+    nwt_b: int = 6
+    rank: int = 39
+    thresh: float = 2.7
+    gamma: float = 0.95
+    beta: float = 1.0
+    tau: float = 0.0
+    offset: float = 0.0
+    flat_areas: bool = False
+    couple_channels: bool = False
+    aggre_boost: bool = True
+    step_s: int = 3
+    only_frame: int = -1
+    mod_sel: str = "clipped"        # eigenvalue shrinkage mode
+    stype: str = "l2"               # "l2" | "needle"
+    srch_img: str = "noisy"         # image searched: "noisy"|"basic"|"clean"
+    cpatches: str = "noisy"         # image the covariance is estimated from
+    deno: str = "bayes"             # "bayes" | "ave"
+    dist_chnls: int = 1             # channels entering the patch distance
+    bsize: int = 256                # sites per lax.scan step (batch)
+    needle_scales: int = 3          # pyramid levels for stype == "needle"
+
+    # -- derived --
+    @property
+    def sigma2(self) -> float:
+        return self.sigma ** 2
+
+    @property
+    def sigmab2(self) -> float:
+        return self.sigma_basic ** 2
+
+    @property
+    def n_dt(self) -> int:
+        """Temporal window size (number of frames scanned)."""
+        return self.nwt_b + self.nwt_f + 1
+
+    @property
+    def n_cands(self) -> int:
+        """Candidates per query site (static)."""
+        return self.n_dt * self.w_s * self.w_s
+
+    @property
+    def pdim(self) -> int:
+        """Per-channel patch dimension entering the Bayes filter."""
+        return self.pt * self.ps * self.ps
+
+    def replace(self, **kw) -> "StageConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class VnlbConfig:
+    """Two-stage VNLB configuration (reference: params.py:52-100)."""
+
+    sigma: float
+    stages: Tuple[StageConfig, ...]
+    preset: str = "default"
+    verbose: bool = False
+
+    def stage(self, i: int) -> StageConfig:
+        return self.stages[i]
+
+
+def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
+                   **overrides) -> VnlbConfig:
+    """Build the two-stage config.
+
+    ``preset`` mirrors the reference's named versions (params.py:54-91); the
+    reference hardcodes ``"iphone"`` — here it is an argument with the same
+    default so `denoise(noisy, sigma)` behaves like the reference.
+
+    ``overrides`` are applied to both stages when scalar, or per-stage when a
+    2-list/2-tuple is given (matching the reference's `[step0, step1]` flag
+    style).
+    """
+    if preset not in PRESETS:
+        raise ValueError(f"unknown preset [{preset}]; options: {PRESETS}")
+
+    offset0 = 2.0 * (sigma / 255.0) ** 2
+    base = dict(sigma=float(sigma))
+
+    s0 = dict(base, step=0, sigma_basic=float(sigma), npatches=100, gamma=0.95,
+              thresh=2.7, tau=0.0, flat_areas=False, offset=offset0,
+              srch_img="noisy", cpatches="noisy", dist_chnls=1)
+    s1 = dict(base, step=1, sigma_basic=0.0, npatches=60, gamma=0.2,
+              thresh=0.7, tau=400.0, flat_areas=True, offset=0.0,
+              srch_img="basic", cpatches="basic", dist_chnls=3)
+
+    if preset in ("sss", "sss_v2", "iphone"):
+        for s in (s0, s1):
+            s.update(w_s=15, nwt_f=10, nwt_b=10)
+    if preset == "sss_v2":
+        s0.update(pt=1)
+    if preset == "iphone":
+        s0.update(pt=1, stype="needle")
+
+    for k, v in overrides.items():
+        vals = v if isinstance(v, (list, tuple)) else (v, v)
+        s0[k], s1[k] = vals[0], vals[1]
+
+    stages = (StageConfig(**s0), StageConfig(**s1))
+    return VnlbConfig(sigma=float(sigma), stages=stages, preset=preset,
+                      verbose=verbose)

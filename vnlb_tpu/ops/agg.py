@@ -1,0 +1,85 @@
+"""Overlap-aware patch aggregation (scatter-add) + weight accumulation.
+
+The reference round-trips every batch to the host and runs a serial numba
+loop (lib/vnlb/agg/comp_agg.py:82-141, the pipeline's biggest self-inflicted
+bottleneck per SURVEY.md §3.5).  Here aggregation is a single on-device
+deterministic scatter-add: XLA scatter-add has a fixed combine order on TPU,
+so repeat runs are bitwise identical (the determinism test relies on this).
+
+Every (group, k) patch deposits its (pt, c, ps, ps) pixels at the decoded
+corner; weights count contributions per pixel.  Invalid entries contribute
+zero through the ``valid`` mask instead of control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("pt", "ps", "shape"))
+def agg_patches(deno: jnp.ndarray, weights: jnp.ndarray,
+                patches: jnp.ndarray, inds: jnp.ndarray, valid: jnp.ndarray,
+                pt: int, ps: int, shape: Tuple[int, int, int, int]
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate patch groups.
+
+    Args:
+      deno:    (T*H*W, C) accumulator (flattened spatial rows).
+      weights: (T*H*W,)   contribution counts.
+      patches: (B, K, pt, C, ps, ps) filtered patches.
+      inds:    (B, K) int32 flat indices (t*(C*H*W) + y*W + x), -1 invalid.
+      valid:   (B, K) or (B,) bool.
+      shape:   (T, C, H, W) static video shape.
+
+    Returns updated (deno, weights).
+    """
+    t_len, c, h, w = shape
+    b, k = inds.shape
+    chw = c * h * w
+    hw = h * w
+
+    if valid.ndim == 1:
+        valid = valid[:, None] & (inds >= 0)
+    else:
+        valid = valid & (inds >= 0)
+
+    safe = jnp.maximum(inds, 0)
+    f = jnp.clip(safe // chw, 0, t_len - pt)
+    y = jnp.clip((safe % hw) // w, 0, h - ps)
+    x = jnp.clip(safe % w, 0, w - ps)
+
+    dt = jnp.arange(pt, dtype=jnp.int32)
+    dy = jnp.arange(ps, dtype=jnp.int32)
+    dx = jnp.arange(ps, dtype=jnp.int32)
+    # rows (B, K, pt, ps, ps) into the flattened (T*H*W) grid
+    rows = ((f[..., None, None, None] + dt[:, None, None]) * hw
+            + (y[..., None, None, None] + dy[None, :, None]) * w
+            + (x[..., None, None, None] + dx[None, None, :]))
+
+    vmask = valid[..., None, None, None].astype(patches.dtype)
+    updates = jnp.transpose(patches, (0, 1, 2, 4, 5, 3))      # (B,K,pt,ps,ps,C)
+    updates = updates * vmask[..., None]
+    wupd = jnp.broadcast_to(vmask, rows.shape)
+
+    rows_flat = rows.reshape(-1)
+    deno = deno.at[rows_flat].add(
+        updates.reshape(-1, c), mode="drop")
+    weights = weights.at[rows_flat].add(
+        wupd.reshape(-1), mode="drop")
+    return deno, weights
+
+
+def finalize(deno_flat: jnp.ndarray, weights_flat: jnp.ndarray,
+             fallback: jnp.ndarray, shape) -> jnp.ndarray:
+    """Normalize by weights; zero-weight pixels fall back to basic/noisy
+    (reference proc_nl.py:118-125)."""
+    t_len, c, h, w = shape
+    wpos = weights_flat > 0
+    wsafe = jnp.where(wpos, weights_flat, 1.0)
+    out = deno_flat / wsafe[:, None]
+    out = out.reshape(t_len, h, w, c).transpose(0, 3, 1, 2)
+    return jnp.where(wpos.reshape(t_len, 1, h, w), out, fallback)

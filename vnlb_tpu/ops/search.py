@@ -1,0 +1,268 @@
+"""Space-time top-K similar-patch search (pure-JAX/XLA implementation).
+
+Replaces the reference's external numba-CUDA kernel
+``vpss.exec_sim_search_burst`` (called at lib/vnlb/search/search.py:88-89;
+contract reconstructed in SURVEY.md §2.2 N1): for every query site
+``(t, h, w)`` scan a ``w_s × w_s`` spatial window over frames
+``t-nwt_b .. t+nwt_f``, with per-frame window centers tracked along the
+optical-flow trajectory, and return the K smallest patch distances plus the
+flat indices (codec ``t*(c*h*w) + y*w + x``) of the matching patch corners.
+
+TPU-first design decisions
+--------------------------
+* Static shapes everywhere: every site always evaluates exactly
+  ``n_dt * w_s**2`` candidates.  Near spatial borders the window *slides* to
+  stay inside the valid patch area (the C++ oracle implements the identical
+  sliding rule), keeping the candidate count constant and duplicate-free.
+  Temporally-invalid frames are masked with +inf distances; since
+  ``w_s**2 >= K`` for every preset, at least K valid candidates always exist.
+* Distances are computed with the MXU via the decomposition
+  ``||q - c||^2 = ||q||^2 + ||c||^2 - 2 q.c``: for each (site, frame) the
+  halo'd search region is gathered once and a single grouped convolution
+  produces both the cross-correlation ``q.c`` and the box-sum ``||c||^2``.
+* Distances are L2 on the first ``dist_chnls`` channels (the C++ algorithm
+  uses Y only in step 0 and all channels of the basic estimate in step 1),
+  normalized to the [0,1] pixel scale and offset-subtracted:
+  ``d = sum((a-b)^2) / (pt*c_d*ps^2 * 255^2) - offset``.  The normalization is
+  monotone, so the selected top-K set matches the un-normalized ranking.
+* Ties break toward the smallest candidate enumeration index — candidates are
+  enumerated (frame ascending, then y, then x), so the earliest raster
+  position wins, and the query patch itself (distance ``-offset``) is always
+  selected first among zero-distance ties.
+* ``stype == "needle"`` augments the distance with coarse-scale terms from an
+  average-pooled pyramid (a TPU-friendly stand-in for the reference's
+  needle-match mode, params.py:88).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import StageConfig
+
+
+def _round_half_up(x):
+    return jnp.floor(x + 0.5)
+
+
+def track_centers(sites: jnp.ndarray, fflow: jnp.ndarray, bflow: jnp.ndarray,
+                  nwt_b: int, nwt_f: int, shape) -> jnp.ndarray:
+    """Flow-tracked window centers.
+
+    Returns int32 (B, n_dt, 2) = (cy, cx) for dt = -nwt_b .. +nwt_f (frame
+    ascending).  Centers accumulate flow in float and are rounded at use,
+    clamped to the image; with zero flows every center equals the query pixel
+    (matching the default ``denoise()`` path, reference impl.py:45 allocates
+    zero flows).
+    """
+    t_len, _, h, w = shape
+    tq = sites[:, 0]
+    cy0 = sites[:, 1].astype(jnp.float32)
+    cx0 = sites[:, 2].astype(jnp.float32)
+
+    def lookup(flow, f_idx, cy, cx):
+        fi = jnp.clip(f_idx, 0, t_len - 1)
+        yi = jnp.clip(_round_half_up(cy), 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(_round_half_up(cx), 0, w - 1).astype(jnp.int32)
+        u = flow[fi, 0, yi, xi]
+        v = flow[fi, 1, yi, xi]
+        return u, v
+
+    fwd = [(cy0, cx0)]
+    cy, cx = cy0, cx0
+    for i in range(nwt_f):
+        u, v = lookup(fflow, tq + i, cy, cx)
+        cy = jnp.clip(cy + v, 0.0, h - 1.0)
+        cx = jnp.clip(cx + u, 0.0, w - 1.0)
+        fwd.append((cy, cx))
+
+    bwd = []
+    cy, cx = cy0, cx0
+    for i in range(nwt_b):
+        u, v = lookup(bflow, tq - i, cy, cx)
+        cy = jnp.clip(cy + v, 0.0, h - 1.0)
+        cx = jnp.clip(cx + u, 0.0, w - 1.0)
+        bwd.append((cy, cx))
+    bwd = bwd[::-1]
+
+    chain = bwd + fwd  # frame ascending: t-nwt_b .. t+nwt_f
+    cy = jnp.stack([c[0] for c in chain], axis=1)
+    cx = jnp.stack([c[1] for c in chain], axis=1)
+    centers = jnp.stack([cy, cx], axis=-1)
+    return _round_half_up(centers).astype(jnp.int32)
+
+
+def _window_starts(centers, w_s, ps, h, w):
+    """Sliding-window top-left corners, keeping all w_s candidates in-bounds.
+
+    start = clip(center - (w_s-1)//2, 0, (H-ps) - (w_s-1)); if the image is
+    smaller than the window the lower clip wins (candidates then clamp
+    per-coordinate, tiny-image degenerate case).
+    """
+    half = (w_s - 1) // 2
+    sy = jnp.clip(centers[..., 0] - half, 0, max(h - ps - (w_s - 1), 0))
+    sx = jnp.clip(centers[..., 1] - half, 0, max(w - ps - (w_s - 1), 0))
+    return sy, sx
+
+
+def _gather_regions(video, f_idx, sy, sx, pt, c_d, r):
+    """vmapped dynamic_slice: (B, n_dt) starts -> (B, n_dt, pt, c_d, r, r)."""
+    t_len = video.shape[0]
+
+    def one(f, y, x):
+        f = jnp.clip(f, 0, t_len - pt)
+        return lax.dynamic_slice(video, (f, 0, y, x),
+                                 (pt, c_d, r, r))
+
+    return jax.vmap(jax.vmap(one))(f_idx, sy, sx)
+
+
+def _gather_query(video, sites, pt, c_d, ps):
+    t_len = video.shape[0]
+
+    def one(s):
+        f = jnp.clip(s[0], 0, t_len - pt)
+        return lax.dynamic_slice(video, (f, 0, s[1], s[2]), (pt, c_d, ps, ps))
+
+    return jax.vmap(one)(sites)
+
+
+def _level_distances(video, sites, centers, cfg: StageConfig):
+    """Raw (un-normalized) squared distances for one pyramid level.
+
+    video: (T, C, H, W); sites (B, 3); centers (B, n_dt, 2) int32.
+    Returns d (B, n_dt, w_s, w_s) float32 and (sy, sx) window corners.
+    """
+    t_len, _, h, w = video.shape
+    ps, pt, c_d, w_s = cfg.ps, cfg.pt, cfg.dist_chnls, cfg.w_s
+    n_dt = cfg.n_dt
+    r = w_s + ps - 1
+    if h < r or w < r:
+        raise ValueError(
+            f"frame {h}x{w} smaller than search region {r}x{r}; "
+            f"reduce w_s or pad the video")
+
+    dts = jnp.arange(-cfg.nwt_b, cfg.nwt_f + 1, dtype=jnp.int32)
+    f_idx = sites[:, 0:1] + dts[None, :]                      # (B, n_dt)
+
+    sy, sx = _window_starts(centers, w_s, ps, h, w)           # (B, n_dt)
+    vdist = video[:, :c_d]
+    regions = _gather_regions(vdist, f_idx, sy, sx, pt, c_d, r)
+    query = _gather_query(vdist, sites, pt, c_d, ps)          # (B,pt,c_d,ps,ps)
+
+    ptc = pt * c_d
+    regions = regions.reshape(-1, n_dt, ptc, r, r)
+    query = query.reshape(-1, ptc, ps, ps)
+
+    def site_dist(reg, q):
+        # reg (n_dt, ptc, r, r), q (ptc, ps, ps)
+        inp = jnp.concatenate([reg, reg * reg], axis=1)       # (n_dt, 2ptc, r, r)
+        zeros = jnp.zeros_like(q)
+        ones = jnp.ones_like(q)
+        f_corr = jnp.concatenate([q, zeros], axis=0)          # (2ptc, ps, ps)
+        f_box = jnp.concatenate([zeros, ones], axis=0)
+        filt = jnp.stack([f_corr, f_box], axis=0)             # (2, 2ptc, ps, ps)
+        out = lax.conv_general_dilated(
+            inp, filt, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)               # (n_dt, 2, w_s, w_s)
+        qsum = jnp.sum(q * q)
+        return qsum + out[:, 1] - 2.0 * out[:, 0]
+
+    d = jax.vmap(site_dist)(regions, query)                   # (B, n_dt, w_s, w_s)
+    return d, (sy, sx), f_idx
+
+
+def _avg_pool2(video):
+    """2x spatial average pooling of (T, C, H, W) (needle pyramid level)."""
+    t, c, h, w = video.shape
+    h2, w2 = h // 2, w // 2
+    v = video[:, :, :h2 * 2, :w2 * 2].reshape(t, c, h2, 2, w2, 2)
+    return v.mean(axis=(3, 5))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def exec_search(video: jnp.ndarray, sites: jnp.ndarray, fflow: jnp.ndarray,
+                bflow: jnp.ndarray, cfg: StageConfig
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-K similar patch search.
+
+    Args:
+      video: (T, C, H, W) float32 search image (YUV), pixel scale [0, 255].
+      sites: (B, 3) int32 query sites (t, y, x), patch-corner convention;
+             the full patch must fit (t <= T-pt, y <= H-ps, x <= W-ps — the
+             coverage lattice guarantees this).
+      fflow/bflow: (T, 2, H, W) float32 optical flows.
+      cfg: stage config (static).
+
+    Returns:
+      vals: (B, K) float32 ascending normalized distances.
+      inds: (B, K) int32 flat indices (t*(C*H*W) + y*W + x).
+    """
+    t_len, c_full, h, w = video.shape
+    k = cfg.npatches
+    n_dt, w_s, ps, pt = cfg.n_dt, cfg.w_s, cfg.ps, cfg.pt
+    if w_s * w_s < k:
+        raise ValueError(f"w_s^2={w_s * w_s} < K={k}: not enough candidates")
+
+    centers = track_centers(sites, fflow, bflow, cfg.nwt_b, cfg.nwt_f,
+                            video.shape)
+
+    d, (sy, sx), f_idx = _level_distances(video, sites, centers, cfg)
+    norm = float(cfg.pt * cfg.dist_chnls * cfg.ps * cfg.ps) * 255.0 ** 2
+
+    if cfg.stype == "needle":
+        # Coarse-to-fine pyramid terms: equal weight per level, each level
+        # normalized by its own patch energy scale.
+        level_video, level_sites, level_centers = video, sites, centers
+        nd = d / norm
+        for _ in range(1, cfg.needle_scales):
+            lh, lw = level_video.shape[2] // 2, level_video.shape[3] // 2
+            if lh < (w_s + ps - 1) or lw < (w_s + ps - 1):
+                break
+            level_video = _avg_pool2(level_video)
+            level_sites = jnp.concatenate(
+                [level_sites[:, :1],
+                 jnp.minimum(level_sites[:, 1:] // 2,
+                             jnp.array([[lh - ps, lw - ps]], jnp.int32))],
+                axis=1)
+            level_centers = jnp.minimum(
+                level_centers // 2,
+                jnp.array([lh - 1, lw - 1], jnp.int32))
+            d_lvl, _, _ = _level_distances(level_video, level_sites,
+                                           level_centers, cfg)
+            nd = nd + d_lvl / norm
+        d_norm = nd - cfg.offset
+    else:
+        d_norm = d / norm - cfg.offset
+
+    # temporal validity mask
+    valid_f = (f_idx >= 0) & (f_idx <= t_len - pt)            # (B, n_dt)
+    big = jnp.float32(jnp.inf)
+    d_norm = jnp.where(valid_f[:, :, None, None], d_norm, big)
+
+    # candidate flat indices
+    dy = jnp.arange(w_s, dtype=jnp.int32)
+    cy = sy[:, :, None] + dy[None, None, :]                   # (B, n_dt, w_s)
+    cx = sx[:, :, None] + dy[None, None, :]
+    cy = jnp.minimum(cy, h - ps)
+    cx = jnp.minimum(cx, w - ps)
+    fcl = jnp.clip(f_idx, 0, t_len - pt)
+    chw = c_full * h * w
+    cand_idx = (fcl[:, :, None, None] * chw
+                + cy[:, :, :, None] * w
+                + cx[:, :, None, :])                          # (B,n_dt,w_s,w_s)
+
+    d_flat = d_norm.reshape(d_norm.shape[0], -1)
+    i_flat = cand_idx.reshape(cand_idx.shape[0], -1)
+
+    neg_vals, sel = lax.top_k(-d_flat, k)                     # ties -> lowest pos
+    vals = -neg_vals
+    inds = jnp.take_along_axis(i_flat, sel, axis=1)
+    inds = jnp.where(jnp.isinf(vals), -1, inds)
+    return vals, inds

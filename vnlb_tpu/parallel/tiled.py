@@ -1,0 +1,104 @@
+"""Multi-chip execution over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); this module supplies
+the scale-out axes the TPU build adds:
+
+* ``proc_nl_sharded`` — **site parallelism** (the DP axis): the coverage
+  lattice's site batches are sharded across the mesh, the video is
+  replicated, and every chip accumulates a partial (deno, weights) pair that
+  is ``psum``-reduced over ICI before normalization.  Site groups are
+  independent, so this is an exact (bitwise-deterministic per mesh size)
+  decomposition — the TPU analog of the reference's "pixel-site batch"
+  parallelism (search/search.py:38-64), scaled across chips.
+* ``denoise_sharded`` — two-pass driver on top of it.
+
+Spatial tiling with halo exchange (`ppermute`, SURVEY.md §5 long-context) is
+the planned second axis for videos too large for one chip's HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import StageConfig, VnlbConfig, default_config
+from ..ops import agg, color
+from ..ops.mask import batched_sites
+from ..pipeline import accumulate, select_search_image
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "sites") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _shard_batches(shape, cfg: StageConfig, n_dev: int):
+    """Site batches padded so the per-scan batch splits evenly over chips."""
+    bsize = ((cfg.bsize + n_dev - 1) // n_dev) * n_dev
+    return batched_sites(shape, cfg, bsize)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "shape", "mesh"))
+def _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow, site_batches,
+                         valid_batches, cfg: StageConfig, shape, mesh: Mesh):
+    noisy_yuv = color.rgb2yuv(noisy)
+    basic_yuv = color.rgb2yuv(basic)
+    clean_yuv = color.rgb2yuv(clean)
+    srch = select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg)
+
+    def shard_fn(n_yuv, b_yuv, s_yuv, ff, bf, sb, vb):
+        deno_acc, wts_acc = accumulate(n_yuv, b_yuv, s_yuv, ff, bf, sb, vb,
+                                       cfg, shape, axis_name="sites")
+        deno_acc = jax.lax.psum(deno_acc, "sites")
+        wts_acc = jax.lax.psum(wts_acc, "sites")
+        return deno_acc, wts_acc
+
+    deno_acc, wts_acc = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(),
+                  P(None, "sites", None), P(None, "sites")),
+        out_specs=(P(), P()),
+    )(noisy_yuv, basic_yuv, srch, fflow, bflow, site_batches, valid_batches)
+
+    fallback = basic_yuv if cfg.step == 1 else noisy_yuv
+    deno_yuv = agg.finalize(deno_acc, wts_acc, fallback, shape)
+    return color.yuv2rgb(deno_yuv)
+
+
+def proc_nl_sharded(noisy, basic, clean, fflow, bflow, cfg: StageConfig,
+                    mesh: Mesh) -> jnp.ndarray:
+    noisy = jnp.asarray(noisy, jnp.float32)
+    shape = tuple(int(s) for s in noisy.shape)
+    basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
+    clean = noisy if clean is None else jnp.asarray(clean, jnp.float32)
+    fflow = jnp.asarray(fflow, jnp.float32)
+    bflow = jnp.asarray(bflow, jnp.float32)
+
+    n_dev = mesh.devices.size
+    sb, vb = _shard_batches(shape, cfg, n_dev)
+    return _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow,
+                                jnp.asarray(sb), jnp.asarray(vb),
+                                cfg, shape, mesh)
+
+
+def denoise_sharded(noisy, sigma: float, mesh: Optional[Mesh] = None,
+                    flows=None, preset: str = "iphone",
+                    cfg: Optional[VnlbConfig] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass VNLB with site batches sharded across the mesh."""
+    from ..api import _prep_flows
+
+    mesh = mesh or make_mesh()
+    cfg = cfg or default_config(sigma, preset=preset)
+    fflow, bflow = _prep_flows(noisy.shape, flows)
+    basic = proc_nl_sharded(noisy, None, None, fflow, bflow, cfg.stage(0),
+                            mesh)
+    deno = proc_nl_sharded(noisy, basic, None, fflow, bflow, cfg.stage(1),
+                           mesh)
+    return deno, basic

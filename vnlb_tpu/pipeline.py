@@ -1,0 +1,109 @@
+"""One denoising pass (``proc_nl``), fully jitted.
+
+Reference: lib/vnlb/proc_nl.py:38-141 — a Python batch loop with host syncs,
+random site draws, and a CPU aggregation detour.  TPU-native redesign
+(SURVEY.md §7): the entire pass is ONE jitted function; the batch loop is a
+``lax.scan`` over fixed-size site batches enumerated from the coverage
+lattice; search, gather, Bayes filtering and scatter-add aggregation all stay
+on device with static shapes.  The function is deterministic: fixed inputs
+give bitwise-identical outputs.
+
+``accumulate`` is the shared core (scan over site batches -> accumulators);
+the single-device ``proc_nl`` and the multi-chip ``parallel.tiled`` paths both
+build on it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import StageConfig
+from .ops import agg, bayes, color, flat, gather, search
+from .ops.mask import batched_sites
+
+
+def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
+               valid_batches, cfg: StageConfig, shape, axis_name=None):
+    """Scan all site batches; returns (deno_acc (T*H*W, C), weights (T*H*W,)).
+
+    All inputs are YUV-domain device arrays; ``shape`` is the static
+    (T, C, H, W) video shape.  ``axis_name`` marks the accumulators as
+    device-varying when running inside ``shard_map`` (scan carry typing).
+    """
+    t_len, c, h, w = shape
+    deno0 = jnp.zeros((t_len * h * w, c), jnp.float32)
+    wts0 = jnp.zeros((t_len * h * w,), jnp.float32)
+    if axis_name is not None:
+        deno0 = jax.lax.pvary(deno0, axis_name)
+        wts0 = jax.lax.pvary(wts0, axis_name)
+
+    def body(carry, xs):
+        deno_acc, wts_acc = carry
+        sites, valid = xs
+
+        vals, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg)
+
+        pnoisy = gather.fill_patches(noisy_yuv, inds, cfg.pt, cfg.ps)
+        pbasic = (gather.fill_patches(basic_yuv, inds, cfg.pt, cfg.ps)
+                  if cfg.step == 1 else None)
+
+        if cfg.deno == "bayes":
+            flat_flags = (flat.flat_areas(pnoisy, cfg.gamma, cfg.sigma2)
+                          if (cfg.step == 1 and cfg.flat_areas)
+                          else jnp.zeros((sites.shape[0],), bool))
+            if cfg.step == 1:
+                pfilt, _ = bayes.bayes_denoise(pnoisy, pbasic, flat_flags, cfg)
+            else:
+                pfilt, _ = bayes.bayes_denoise(pnoisy, None, None, cfg)
+        elif cfg.deno == "ave":
+            pfilt = bayes.ave_denoise(pnoisy)
+        else:
+            raise ValueError(f"unknown deno mode [{cfg.deno}]")
+
+        deno_acc, wts_acc = agg.agg_patches(
+            deno_acc, wts_acc, pfilt, inds, valid, cfg.pt, cfg.ps, shape)
+        return (deno_acc, wts_acc), None
+
+    (deno_acc, wts_acc), _ = jax.lax.scan(
+        body, (deno0, wts0), (site_batches, valid_batches))
+    return deno_acc, wts_acc
+
+
+def select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg: StageConfig):
+    return {"noisy": noisy_yuv, "basic": basic_yuv,
+            "clean": clean_yuv}[cfg.srch_img]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "shape"))
+def _proc_nl_jit(noisy, basic, clean, fflow, bflow, site_batches,
+                 valid_batches, cfg: StageConfig, shape):
+    noisy_yuv = color.rgb2yuv(noisy)
+    basic_yuv = color.rgb2yuv(basic)
+    clean_yuv = color.rgb2yuv(clean)
+    srch = select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg)
+
+    deno_acc, wts_acc = accumulate(noisy_yuv, basic_yuv, srch, fflow, bflow,
+                                   site_batches, valid_batches, cfg, shape)
+
+    fallback = basic_yuv if cfg.step == 1 else noisy_yuv
+    deno_yuv = agg.finalize(deno_acc, wts_acc, fallback, shape)
+    return color.yuv2rgb(deno_yuv)
+
+
+def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
+            fflow, bflow, cfg: StageConfig) -> jnp.ndarray:
+    """Run one VNLB pass; RGB (T,C,H,W) in, RGB denoised out."""
+    noisy = jnp.asarray(noisy, jnp.float32)
+    shape = tuple(int(s) for s in noisy.shape)
+    basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
+    clean = noisy if clean is None else jnp.asarray(clean, jnp.float32)
+    fflow = jnp.asarray(fflow, jnp.float32)
+    bflow = jnp.asarray(bflow, jnp.float32)
+
+    sb, vb = batched_sites(shape, cfg)
+    return _proc_nl_jit(noisy, basic, clean, fflow, bflow,
+                        jnp.asarray(sb), jnp.asarray(vb), cfg, shape)
