@@ -30,10 +30,13 @@ def main():
     sigma = float(os.environ.get("VNLB_BENCH_SIGMA", "20"))
     preset = os.environ.get("VNLB_BENCH_PRESET", "iphone")
     reps = int(os.environ.get("VNLB_BENCH_REPS", "2"))
+    # production fast path: rational spectral filter (see ops/spectral.py;
+    # two-pass PSNR parity with the exact eigh mode is pinned by tests)
+    eig_method = os.environ.get("VNLB_BENCH_EIG", "rational")
 
     import jax
 
-    from vnlb_tpu import denoise
+    from vnlb_tpu import default_config, denoise
     from vnlb_tpu.testing.data import add_noise, synthetic_video
     from vnlb_tpu.utils.metrics import compute_psnr
 
@@ -42,19 +45,25 @@ def main():
 
     clean = synthetic_video(t, h, w, seed=0)
     noisy = add_noise(clean, sigma, seed=1)
+    cfg = default_config(sigma, preset=preset, eig_method=eig_method)
 
     # warmup (compile)
     t0 = time.perf_counter()
-    deno, basic, _ = denoise(noisy, sigma, preset=preset)
+    deno, basic, _ = denoise(noisy, sigma, cfg=cfg)
     log(f"[bench] warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
     log(f"[bench] psnr noisy={compute_psnr(noisy, clean):.2f} "
         f"basic={compute_psnr(np.asarray(basic), clean):.2f} "
         f"deno={compute_psnr(np.asarray(deno), clean):.2f} dB")
 
+    import jax.numpy as jnp
+
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        deno, basic, _ = denoise(noisy, sigma, preset=preset)
+        deno, basic, _ = denoise(noisy, sigma, cfg=cfg)
+        # force execution with a scalar fetch: on tunneled platforms
+        # block_until_ready alone does not force remote execution
+        _ = float(jnp.sum(deno)) + float(jnp.sum(basic))
         dt = time.perf_counter() - t0
         times.append(dt)
         log(f"[bench] rep {i}: {dt:.3f}s ({t / dt:.3f} fps)")

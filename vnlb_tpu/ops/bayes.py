@@ -24,9 +24,12 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import StageConfig
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _to_bcnp(p: jnp.ndarray) -> jnp.ndarray:
@@ -76,31 +79,109 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
     xc2 = xc.reshape(b * c, k, p)
     xn2 = xn.reshape(b * c, k, p)
 
-    cov = jnp.einsum("gkp,gkq->gpq", xc2, xc2,
-                     preferred_element_type=jnp.float32) / k
-    evals, evecs = jnp.linalg.eigh(cov)                     # ascending
-    evals = evals[:, ::-1]                                  # descending
-    u = evecs[:, :, ::-1][:, :, :rank]                      # (g, p, rank)
+    if cfg.eig_method == "rational":
+        from .spectral import rational_filter
 
-    rank_var = jnp.sum(evals.reshape(b, c, p), axis=2).mean(axis=1)
+        xf = rational_filter(xc2, xn2, cfg)
+        # rank_var = full eigenvalue mass = trace(C) = ||Xc||^2 / K, exact
+        trace = jnp.sum(xc2 * xc2, axis=(1, 2)) / k
+        rank_var = trace.reshape(b, c).mean(axis=1)
+        out = xf.reshape(b, c, k, p) + cnoisy
+        return _from_bcnp(out, pt, ps), rank_var
 
-    lam = evals[:, :rank]
+    lam, coeff, basis, domain = _spectral_filter(xc2, cfg, rank)
+
+    rank_var = jnp.sum(lam.reshape(b, c, -1), axis=2).mean(axis=1)
+
+    if domain == "gram":
+        # Shared-SVD identity: with Xc = sum_i sqrt(K mu_i) v_i u_i^T, the
+        # covariance eigenvectors are u_i = Xc^T v_i / sqrt(K mu_i), so
+        #   Xn U_r diag(c) U_r^T = Xn Xc^T V_r diag(c/(K mu)) V_r^T Xc.
+        # The p-dim eigenvectors are never materialized — everything stays
+        # in the smaller K-dim Gram domain (pure batched matmuls).
+        mu_r = jnp.maximum(lam[:, :rank], 0.0)
+        w = jnp.where(mu_r > 1e-8,
+                      coeff / jnp.maximum(k * mu_r, 1e-10), 0.0)
+        m = jnp.einsum("gkp,glp->gkl", xn2, xc2,
+                       precision=_HI,
+                     preferred_element_type=jnp.float32)   # Xn Xc^T
+        t1 = jnp.einsum("gkl,glr->gkr", m, basis,
+                        precision=_HI,
+                     preferred_element_type=jnp.float32)
+        t2 = jnp.einsum("gkr,glr->gkl", t1 * w[:, None, :], basis,
+                        precision=_HI,
+                     preferred_element_type=jnp.float32)
+        xf = jnp.einsum("gkl,glp->gkp", t2, xc2,
+                        precision=_HI,
+                     preferred_element_type=jnp.float32)
+    else:
+        z = jnp.einsum("gkp,gpr->gkr", xn2, basis,
+                       precision=_HI,
+                     preferred_element_type=jnp.float32)
+        xf = jnp.einsum("gkr,gpr->gkp", z * coeff[:, None, :], basis,
+                        precision=_HI,
+                     preferred_element_type=jnp.float32)
+
+    out = xf.reshape(b, c, k, p) + cnoisy
+    return _from_bcnp(out, pt, ps), rank_var
+
+
+def _wiener_coeff(lam, cfg: StageConfig):
+    """Eigenvalue shrinkage + Wiener gate (reference bayes_est.py:129-144)."""
     if cfg.mod_sel == "clipped":
         lam = lam - jnp.minimum(lam, cfg.sigmab2)
     elif cfg.mod_sel != "paul":
         raise ValueError(f"unknown eigen modifier [{cfg.mod_sel}]")
-
     gate = lam > (cfg.thresh * cfg.sigma2)
-    coeff = jnp.where(gate, 1.0 / (1.0 + cfg.sigma2 / jnp.where(gate, lam, 1.0)),
-                      0.0)                                  # (g, rank)
+    return jnp.where(gate,
+                     1.0 / (1.0 + cfg.sigma2 / jnp.where(gate, lam, 1.0)),
+                     0.0)
 
-    z = jnp.einsum("gkp,gpr->gkr", xn2, u,
-                   preferred_element_type=jnp.float32)
-    xf = jnp.einsum("gkr,gpr->gkp", z * coeff[:, None, :], u,
-                    preferred_element_type=jnp.float32)
 
-    out = xf.reshape(b, c, k, p) + cnoisy
-    return _from_bcnp(out, pt, ps), rank_var
+def _spectral_filter(xc2, cfg: StageConfig, rank):
+    """Eigen-spectrum + filter basis of the group covariance.
+
+    Works in whichever domain is smaller (TPU-first redesign of the
+    reference's always-p x p cuSOLVER eigh, SURVEY.md §2.2 N7):
+
+    * ``cov`` domain (p <= K): eigh of C = X^T X / K (p x p);
+    * ``gram`` domain (K < p): eigh of G = X X^T / K (K x K) — same nonzero
+      spectrum (shared SVD), and the Wiener projection can be applied from
+      the left with the K-dim eigenvectors, so the p-dim eigenvectors are
+      never materialized.
+
+    Returns (lam_full_desc, coeff (g, rank), basis, domain).
+    """
+    g, k, p = xc2.shape
+    if k < p:
+        gram = jnp.einsum("gkp,glp->gkl", xc2, xc2,
+                          precision=_HI,
+                     preferred_element_type=jnp.float32) / k
+        mu, v = _eigh(gram, cfg)
+        coeff = _wiener_coeff(mu[:, :rank], cfg)
+        return mu, coeff, v[:, :, :rank], "gram"
+    cov = jnp.einsum("gkp,gkq->gpq", xc2, xc2,
+                     precision=_HI,
+                     preferred_element_type=jnp.float32) / k
+    lam, u = _eigh(cov, cfg)
+    coeff = _wiener_coeff(lam[:, :rank], cfg)
+    return lam, coeff, u[:, :, :rank], "cov"
+
+
+def _eigh(mats, cfg: StageConfig):
+    """Batched symmetric eigh, eigenvalues descending.
+
+    ``cfg.eig_method``: "jacobi" (default) = the framework's vectorized
+    batched Jacobi (ops/eigh.py) — time scales with FLOPs, not with batch
+    count; "xla" = jnp.linalg.eigh (reference semantics, ~150us/matrix of
+    serialized per-matrix work on TPU, kept for verification).
+    """
+    if cfg.eig_method == "xla":
+        w, v = jnp.linalg.eigh(mats)
+        return w[:, ::-1], v[:, :, ::-1]
+    from .eigh import jacobi_eigh
+
+    return jacobi_eigh(mats, sweeps=cfg.eig_sweeps)
 
 
 def ave_denoise(pnoisy: jnp.ndarray) -> jnp.ndarray:

@@ -170,6 +170,9 @@ def _level_distances(video, sites, centers, cfg: StageConfig):
         out = lax.conv_general_dilated(
             inp, filt, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            # full fp32: the ||a||^2+||b||^2-2ab decomposition is
+            # cancellation-prone; bf16 MXU passes reorder the top-K
+            precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)               # (n_dt, 2, w_s, w_s)
         qsum = jnp.sum(q * q)
         return qsum + out[:, 1] - 2.0 * out[:, 0]
