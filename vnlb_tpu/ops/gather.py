@@ -32,3 +32,56 @@ def fill_patches(video: jnp.ndarray, inds: jnp.ndarray, pt: int, ps: int
         return lax.dynamic_slice(video, (fi, 0, yi, xi), (pt, c, ps, ps))
 
     return jax.vmap(jax.vmap(one))(f, y, x)
+
+
+# ---------------------------------------------------------------------------
+# im2col ("patch-column") fast path
+#
+# TPU gathers of tiny (ps-wide) slices are slow; instead the video is
+# unfolded ONCE per pass into (T, H', W', C*ps*ps) patch columns, and patch
+# groups become contiguous row gathers (aggregation scatters rows back into
+# the same space — see ops/agg.py).  H' = H-ps+1, W' = W-ps+1: exactly the
+# valid patch-corner grid the search produces.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("ps",))
+def im2col(video: jnp.ndarray, ps: int) -> jnp.ndarray:
+    """(T, C, H, W) -> (T, H', W', C*ps*ps) patch columns."""
+    t, c, h, w = video.shape
+    hp, wp = h - ps + 1, w - ps + 1
+    cols = [video[:, :, dy:dy + hp, dx:dx + wp]
+            for dy in range(ps) for dx in range(ps)]
+    cols = jnp.stack(cols, axis=-1)                     # (T, C, H', W', ps*ps)
+    return jnp.transpose(cols, (0, 2, 3, 1, 4)).reshape(t, hp, wp, c * ps * ps)
+
+
+def cols_rows(cols: jnp.ndarray):
+    """Flatten (T, H', W', D) -> ((T*H'*W', D), (H', W'))."""
+    t, hp, wp, d = cols.shape
+    return cols.reshape(t * hp * wp, d), (hp, wp)
+
+
+def inds_to_rows(inds: jnp.ndarray, shape, ps: int, pt: int) -> jnp.ndarray:
+    """Decode flat image indices -> (B, K, pt) row indices into the
+    flattened column space (frame f+dt, same corner)."""
+    t_len, c, h, w = shape
+    hp, wp = h - ps + 1, w - ps + 1
+    chw = c * h * w
+    hw = h * w
+    safe = jnp.maximum(inds, 0)
+    f = jnp.clip(safe // chw, 0, t_len - pt)
+    y = jnp.clip((safe % hw) // w, 0, hp - 1)
+    x = jnp.clip(safe % w, 0, wp - 1)
+    base = f * (hp * wp) + y * wp + x                   # (B, K)
+    dt = jnp.arange(pt, dtype=inds.dtype) * (hp * wp)
+    return base[:, :, None] + dt[None, None, :]         # (B, K, pt)
+
+
+@functools.partial(jax.jit, static_argnames=("pt", "ps", "c"))
+def fill_patches_cols(cols_flat: jnp.ndarray, rows: jnp.ndarray,
+                      pt: int, ps: int, c: int) -> jnp.ndarray:
+    """Row-gather patches: (N, C*ps*ps) cols + (B, K, pt) rows ->
+    (B, K, pt, C, ps, ps)."""
+    b, k, _ = rows.shape
+    out = jnp.take(cols_flat, rows.reshape(-1), axis=0)
+    return out.reshape(b, k, pt, c, ps, ps)

@@ -53,13 +53,15 @@ def _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow, site_batches,
     srch = select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg)
 
     def shard_fn(n_yuv, b_yuv, s_yuv, ff, bf, sb, vb):
-        deno_acc, wts_acc = accumulate(n_yuv, b_yuv, s_yuv, ff, bf, sb, vb,
+        # accumulate folds per-device partial images; fold is linear, so the
+        # psum over ICI gives the exact single-device accumulators
+        deno_img, wts_img = accumulate(n_yuv, b_yuv, s_yuv, ff, bf, sb, vb,
                                        cfg, shape, axis_name="sites")
-        deno_acc = jax.lax.psum(deno_acc, "sites")
-        wts_acc = jax.lax.psum(wts_acc, "sites")
-        return deno_acc, wts_acc
+        deno_img = jax.lax.psum(deno_img, "sites")
+        wts_img = jax.lax.psum(wts_img, "sites")
+        return deno_img, wts_img
 
-    deno_acc, wts_acc = jax.shard_map(
+    deno_img, wts_img = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(),
                   P(None, "sites", None), P(None, "sites")),
@@ -67,7 +69,7 @@ def _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow, site_batches,
     )(noisy_yuv, basic_yuv, srch, fflow, bflow, site_batches, valid_batches)
 
     fallback = basic_yuv if cfg.step == 1 else noisy_yuv
-    deno_yuv = agg.finalize(deno_acc, wts_acc, fallback, shape)
+    deno_yuv = agg.finalize_img(deno_img, wts_img, fallback)
     return color.yuv2rgb(deno_yuv)
 
 

@@ -28,27 +28,40 @@ from .ops.mask import batched_sites
 
 def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                valid_batches, cfg: StageConfig, shape, axis_name=None):
-    """Scan all site batches; returns (deno_acc (T*H*W, C), weights (T*H*W,)).
+    """Scan all site batches; returns image-space (deno (T,C,H,W),
+    weights (T,H,W)) accumulators (un-normalized).
 
-    All inputs are YUV-domain device arrays; ``shape`` is the static
-    (T, C, H, W) video shape.  ``axis_name`` marks the accumulators as
-    device-varying when running inside ``shard_map`` (scan carry typing).
+    TPU-first data layout: the videos are unfolded once into patch columns
+    (ops/gather.im2col), so every patch-group gather is a contiguous row
+    gather and aggregation is a row scatter into column space, folded
+    densely back to image space once at the end (ops/agg.fold).
+
+    ``axis_name`` marks the accumulators as device-varying when running
+    inside ``shard_map`` (scan carry typing).
     """
     t_len, c, h, w = shape
-    deno0 = jnp.zeros((t_len * h * w, c), jnp.float32)
-    wts0 = jnp.zeros((t_len * h * w,), jnp.float32)
+    hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
+    d = c * cfg.ps * cfg.ps
+
+    cols_noisy, _ = gather.cols_rows(gather.im2col(noisy_yuv, cfg.ps))
+    cols_basic = (gather.cols_rows(gather.im2col(basic_yuv, cfg.ps))[0]
+                  if cfg.step == 1 else None)
+
+    acc0 = jnp.zeros((t_len * hp * wp, d), jnp.float32)
+    wacc0 = jnp.zeros((t_len * hp * wp,), jnp.float32)
     if axis_name is not None:
-        deno0 = jax.lax.pvary(deno0, axis_name)
-        wts0 = jax.lax.pvary(wts0, axis_name)
+        acc0 = jax.lax.pvary(acc0, axis_name)
+        wacc0 = jax.lax.pvary(wacc0, axis_name)
 
     def body(carry, xs):
-        deno_acc, wts_acc = carry
+        acc, wacc = carry
         sites, valid = xs
 
         vals, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg)
+        rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
 
-        pnoisy = gather.fill_patches(noisy_yuv, inds, cfg.pt, cfg.ps)
-        pbasic = (gather.fill_patches(basic_yuv, inds, cfg.pt, cfg.ps)
+        pnoisy = gather.fill_patches_cols(cols_noisy, rows, cfg.pt, cfg.ps, c)
+        pbasic = (gather.fill_patches_cols(cols_basic, rows, cfg.pt, cfg.ps, c)
                   if cfg.step == 1 else None)
 
         if cfg.deno == "bayes":
@@ -64,13 +77,13 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         else:
             raise ValueError(f"unknown deno mode [{cfg.deno}]")
 
-        deno_acc, wts_acc = agg.agg_patches(
-            deno_acc, wts_acc, pfilt, inds, valid, cfg.pt, cfg.ps, shape)
-        return (deno_acc, wts_acc), None
+        valid_k = valid[:, None] & (inds >= 0)
+        acc, wacc = agg.agg_rows(acc, wacc, pfilt, rows, valid_k)
+        return (acc, wacc), None
 
-    (deno_acc, wts_acc), _ = jax.lax.scan(
-        body, (deno0, wts0), (site_batches, valid_batches))
-    return deno_acc, wts_acc
+    (acc, wacc), _ = jax.lax.scan(
+        body, (acc0, wacc0), (site_batches, valid_batches))
+    return agg.fold(acc, wacc, cfg.pt, cfg.ps, shape)
 
 
 def select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg: StageConfig):
@@ -86,11 +99,11 @@ def _proc_nl_jit(noisy, basic, clean, fflow, bflow, site_batches,
     clean_yuv = color.rgb2yuv(clean)
     srch = select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg)
 
-    deno_acc, wts_acc = accumulate(noisy_yuv, basic_yuv, srch, fflow, bflow,
+    deno_img, wts_img = accumulate(noisy_yuv, basic_yuv, srch, fflow, bflow,
                                    site_batches, valid_batches, cfg, shape)
 
     fallback = basic_yuv if cfg.step == 1 else noisy_yuv
-    deno_yuv = agg.finalize(deno_acc, wts_acc, fallback, shape)
+    deno_yuv = agg.finalize_img(deno_img, wts_img, fallback)
     return color.yuv2rgb(deno_yuv)
 
 
