@@ -110,16 +110,33 @@ def _window_starts(centers, w_s, ps, h, w):
     return sy, sx
 
 
-def _gather_regions(video, f_idx, sy, sx, pt, c_d, r):
-    """vmapped dynamic_slice: (B, n_dt) starts -> (B, n_dt, pt, c_d, r, r)."""
-    t_len = video.shape[0]
+def x_im2col(video, r):
+    """Row-segment unfolding for fast region gathers.
 
-    def one(f, y, x):
-        f = jnp.clip(f, 0, t_len - pt)
-        return lax.dynamic_slice(video, (f, 0, y, x),
-                                 (pt, c_d, r, r))
+    (T, c_d, H, W) -> flat (T*H*W', c_d*r) with W' = W-r+1: row (t, y, x)
+    holds video[t, :, y, x:x+r].  Region gathers then become contiguous
+    row-segment gathers (TPU gathers of small 2-D slices are ~10x slower).
+    """
+    t, c, h, w = video.shape
+    wp = w - r + 1
+    seg = jnp.stack([video[:, :, :, dx:dx + wp] for dx in range(r)], axis=-1)
+    seg = jnp.transpose(seg, (0, 2, 3, 1, 4))        # (T, H, W', c_d, r)
+    return seg.reshape(t * h * wp, c * r)
 
-    return jax.vmap(jax.vmap(one))(f_idx, sy, sx)
+
+def _gather_regions_cols(xcols_flat, f_idx, sy, sx, pt, c_d, r, t_len, h, w):
+    """Row-segment gather: (B, n_dt) starts -> (B, n_dt, pt, c_d, r, r)."""
+    wp = w - r + 1
+    b, n_dt = f_idx.shape
+    f = jnp.clip(f_idx, 0, t_len - pt)                       # (B, n_dt)
+    dtp = jnp.arange(pt, dtype=jnp.int32)                    # frames in patch
+    row = jnp.arange(r, dtype=jnp.int32)                     # rows in region
+    idx = ((f[:, :, None, None] + dtp[None, None, :, None]) * h
+           + sy[:, :, None, None] + row[None, None, None, :]) * wp \
+        + sx[:, :, None, None]                               # (B, n_dt, pt, r)
+    seg = jnp.take(xcols_flat, idx.reshape(-1), axis=0)      # (., c_d*r)
+    seg = seg.reshape(b, n_dt, pt, r, c_d, r)
+    return jnp.transpose(seg, (0, 1, 2, 4, 3, 5))            # (B,n_dt,pt,c_d,r,r)
 
 
 def _gather_query(video, sites, pt, c_d, ps):
@@ -132,10 +149,11 @@ def _gather_query(video, sites, pt, c_d, ps):
     return jax.vmap(one)(sites)
 
 
-def _level_distances(video, sites, centers, cfg: StageConfig):
+def _level_distances(video, xcols_flat, sites, centers, cfg: StageConfig):
     """Raw (un-normalized) squared distances for one pyramid level.
 
-    video: (T, C, H, W); sites (B, 3); centers (B, n_dt, 2) int32.
+    video: (T, C, H, W); xcols_flat: x_im2col of video[:, :c_d] (or None to
+    build on the fly); sites (B, 3); centers (B, n_dt, 2) int32.
     Returns d (B, n_dt, w_s, w_s) float32 and (sy, sx) window corners.
     """
     t_len, _, h, w = video.shape
@@ -152,7 +170,10 @@ def _level_distances(video, sites, centers, cfg: StageConfig):
 
     sy, sx = _window_starts(centers, w_s, ps, h, w)           # (B, n_dt)
     vdist = video[:, :c_d]
-    regions = _gather_regions(vdist, f_idx, sy, sx, pt, c_d, r)
+    if xcols_flat is None:
+        xcols_flat = x_im2col(vdist, r)
+    regions = _gather_regions_cols(xcols_flat, f_idx, sy, sx, pt, c_d, r,
+                                   t_len, h, w)
     query = _gather_query(vdist, sites, pt, c_d, ps)          # (B,pt,c_d,ps,ps)
 
     ptc = pt * c_d
@@ -189,9 +210,29 @@ def _avg_pool2(video):
     return v.mean(axis=(3, 5))
 
 
+def build_search_ctx(video: jnp.ndarray, cfg: StageConfig):
+    """Precompute the per-pass search context: the pyramid levels (for
+    ``stype=='needle'``) and their x-im2col row-segment buffers.
+
+    Build this ONCE per pass and hand it to ``exec_search`` — rebuilding the
+    row segments per batch would dominate the search cost.
+    """
+    r = cfg.w_s + cfg.ps - 1
+    n_levels = cfg.needle_scales if cfg.stype == "needle" else 1
+    videos, xcols = [video], [x_im2col(video[:, :cfg.dist_chnls], r)]
+    for _ in range(1, n_levels):
+        lh, lw = videos[-1].shape[2] // 2, videos[-1].shape[3] // 2
+        if lh < r or lw < r:
+            break
+        lvl = _avg_pool2(videos[-1])
+        videos.append(lvl)
+        xcols.append(x_im2col(lvl[:, :cfg.dist_chnls], r))
+    return tuple(videos), tuple(xcols)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def exec_search(video: jnp.ndarray, sites: jnp.ndarray, fflow: jnp.ndarray,
-                bflow: jnp.ndarray, cfg: StageConfig
+def exec_search(video, sites: jnp.ndarray, fflow: jnp.ndarray,
+                bflow: jnp.ndarray, cfg: StageConfig, ctx=None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K similar patch search.
 
@@ -202,6 +243,7 @@ def exec_search(video: jnp.ndarray, sites: jnp.ndarray, fflow: jnp.ndarray,
              coverage lattice guarantees this).
       fflow/bflow: (T, 2, H, W) float32 optical flows.
       cfg: stage config (static).
+      ctx: optional precomputed ``build_search_ctx`` output (per-pass reuse).
 
     Returns:
       vals: (B, K) float32 ascending normalized distances.
@@ -213,22 +255,24 @@ def exec_search(video: jnp.ndarray, sites: jnp.ndarray, fflow: jnp.ndarray,
     if w_s * w_s < k:
         raise ValueError(f"w_s^2={w_s * w_s} < K={k}: not enough candidates")
 
+    if ctx is None:
+        ctx = build_search_ctx(video, cfg)
+    videos, xcols = ctx
+
     centers = track_centers(sites, fflow, bflow, cfg.nwt_b, cfg.nwt_f,
                             video.shape)
 
-    d, (sy, sx), f_idx = _level_distances(video, sites, centers, cfg)
+    d, (sy, sx), f_idx = _level_distances(videos[0], xcols[0], sites,
+                                          centers, cfg)
     norm = float(cfg.pt * cfg.dist_chnls * cfg.ps * cfg.ps) * 255.0 ** 2
 
     if cfg.stype == "needle":
         # Coarse-to-fine pyramid terms: equal weight per level, each level
         # normalized by its own patch energy scale.
-        level_video, level_sites, level_centers = video, sites, centers
+        level_sites, level_centers = sites, centers
         nd = d / norm
-        for _ in range(1, cfg.needle_scales):
-            lh, lw = level_video.shape[2] // 2, level_video.shape[3] // 2
-            if lh < (w_s + ps - 1) or lw < (w_s + ps - 1):
-                break
-            level_video = _avg_pool2(level_video)
+        for lvl in range(1, len(videos)):
+            lh, lw = videos[lvl].shape[2], videos[lvl].shape[3]
             level_sites = jnp.concatenate(
                 [level_sites[:, :1],
                  jnp.minimum(level_sites[:, 1:] // 2,
@@ -237,8 +281,8 @@ def exec_search(video: jnp.ndarray, sites: jnp.ndarray, fflow: jnp.ndarray,
             level_centers = jnp.minimum(
                 level_centers // 2,
                 jnp.array([lh - 1, lw - 1], jnp.int32))
-            d_lvl, _, _ = _level_distances(level_video, level_sites,
-                                           level_centers, cfg)
+            d_lvl, _, _ = _level_distances(videos[lvl], xcols[lvl],
+                                           level_sites, level_centers, cfg)
             nd = nd + d_lvl / norm
         d_norm = nd - cfg.offset
     else:

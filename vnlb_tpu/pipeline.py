@@ -46,6 +46,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     cols_noisy, _ = gather.cols_rows(gather.im2col(noisy_yuv, cfg.ps))
     cols_basic = (gather.cols_rows(gather.im2col(basic_yuv, cfg.ps))[0]
                   if cfg.step == 1 else None)
+    search_ctx = search.build_search_ctx(srch_yuv, cfg)
 
     acc0 = jnp.zeros((t_len * hp * wp, d), jnp.float32)
     wacc0 = jnp.zeros((t_len * hp * wp,), jnp.float32)
@@ -57,7 +58,8 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         acc, wacc = carry
         sites, valid = xs
 
-        vals, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg)
+        vals, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg,
+                                        ctx=search_ctx)
         rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
 
         pnoisy = gather.fill_patches_cols(cols_noisy, rows, cfg.pt, cfg.ps, c)
