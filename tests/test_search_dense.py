@@ -1,0 +1,56 @@
+"""Dense zero-flow search parity: identical results to the gather path for
+interior sites (values, indices, tie order)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vnlb_tpu.config import default_config
+from vnlb_tpu.ops.mask import interior_split, lattice_sites
+from vnlb_tpu.ops.search import exec_search
+from vnlb_tpu.ops.search_dense import exec_search_dense
+
+
+def _mk(seed, t=4, h=48, w=52):
+    rng = np.random.default_rng(seed)
+    video = rng.uniform(0, 255, (t, 3, h, w)).astype(np.float32)
+    zf = np.zeros((t, 2, h, w), np.float32)
+    return video, zf
+
+
+@pytest.mark.parametrize("step,stype", [(0, "l2"), (1, "l2"), (0, "needle")])
+def test_dense_matches_gather_interior(step, stype):
+    video, zf = _mk(3 + step)
+    shape = video.shape
+    cfg = default_config(20.0, preset="iphone").stage(step).replace(
+        nwt_b=3, nwt_f=3, npatches=20, stype=stype)
+    sites = lattice_sites(shape, cfg)
+    interior, border = interior_split(sites, shape, cfg)
+    assert interior.shape[0] > 10
+    assert border.shape[0] > 0
+
+    si = jnp.asarray(interior)
+    gv, gi = exec_search(jnp.asarray(video), si, jnp.asarray(zf),
+                         jnp.asarray(zf), cfg)
+    dv, di = exec_search_dense(jnp.asarray(video), si, cfg)
+
+    gv, gi = np.asarray(gv), np.asarray(gi)
+    dv, di = np.asarray(dv), np.asarray(di)
+    np.testing.assert_allclose(dv, gv, rtol=2e-4, atol=1e-5)
+    # index equality with tie tolerance (equal-distance swaps allowed)
+    neq = np.where(gi != di)
+    if neq[0].size:
+        assert np.abs(gv[neq] - dv[neq]).max() < 1e-5
+
+
+def test_interior_split_covers_all():
+    shape = (3, 3, 48, 48)
+    cfg = default_config(20.0, preset="iphone").stage(1)
+    sites = lattice_sites(shape, cfg)
+    interior, border = interior_split(sites, shape, cfg)
+    assert interior.shape[0] + border.shape[0] == sites.shape[0]
+    # interior windows never clamp
+    half = (cfg.w_s - 1) // 2
+    if interior.size:
+        assert interior[:, 1].min() >= half
+        assert interior[:, 1].max() <= shape[2] - cfg.ps - half

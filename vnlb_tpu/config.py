@@ -67,6 +67,7 @@ class StageConfig:
     dist_chnls: int = 1             # channels entering the patch distance
     bsize: int = 256                # sites per lax.scan step (batch)
     needle_scales: int = 3          # pyramid levels for stype == "needle"
+    topk: str = "exact"             # "exact" | "approx" (dense path only)
     eig_method: str = "jacobi"      # "jacobi" | "xla" | "rational" (fast)
     eig_sweeps: int = 8             # cyclic-Jacobi sweeps (fp32 converges ~6-8)
     gate_power: int = 1             # rational-gate sharpness (1 or 2)

@@ -1,0 +1,182 @@
+"""Dense zero-flow top-K search — the production fast path.
+
+The gather-based search (ops/search.py) evaluates every (site, candidate)
+pair independently: ~90 MB of region traffic per 256-site batch.  With zero
+optical flow (the default `denoise()` path — the reference's effective
+behavior too, SURVEY.md §3.1) the window of every *interior* site is a pure
+translation: candidate = site + delta, delta in a fixed (n_dt, w_s, w_s)
+offset grid.  Distances for ALL sites then share work across the frame:
+
+    D(x, dt, delta) = q2(x) + b2[t+dt](x+delta) - 2 * cross_dt,delta(x)
+    q2   = box_ps(sum_{f,c} V^2)                    (once per video)
+    cross = box_ps(sum_{f,c} V[t+f] . V[t+dt+f](.+delta))   (one elementwise
+            multiply + separable box filter per (dt, delta) — shared by
+            every site in the frame)
+
+per-offset cost is O(pixels), not O(sites * patch), an ~ps^2 = 49x FLOP
+reduction over the per-site path.  Non-interior (border) sites — whose
+window clamps — keep the exact gather path; the pipeline splits the site
+list statically (ops/mask.interior_split).
+
+Candidate enumeration order (dt asc, dy, dx) and the top-K merge order are
+identical to ops/search.exec_search, so ties resolve identically and the
+two paths return bit-equal results for interior sites (pinned by
+tests/test_search_dense.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import StageConfig
+from .search import _avg_pool2
+
+
+def _box_ps(x, ps):
+    """Separable ps x ps box sum, VALID: (..., H, W) -> (..., H', W')."""
+    xr = jnp.cumsum(x, axis=-1)
+    xr = jnp.concatenate([xr[..., ps - 1:ps], xr[..., ps:] - xr[..., :-ps]],
+                         axis=-1)
+    xc = jnp.cumsum(xr, axis=-2)
+    xc = jnp.concatenate([xc[..., ps - 1:ps, :],
+                          xc[..., ps:, :] - xc[..., :-ps, :]], axis=-2)
+    return xc
+
+
+def _level_dense(video, cfg: StageConfig):
+    """Per-level dense candidate distances.
+
+    Returns d_all (n_dt, w_s*w_s, F, H', W') float32 raw squared distances
+    where F = T-pt+1 (rows for temporally-invalid dt contain garbage and are
+    masked by the caller).
+    """
+    t_len, _, h, w = video.shape
+    ps, pt, c_d, w_s = cfg.ps, cfg.pt, cfg.dist_chnls, cfg.w_s
+    half = (w_s - 1) // 2
+    f_cnt = t_len - pt + 1
+
+    vc = video[:, :c_d]                                    # (T, c_d, H, W)
+    v2 = jnp.sum(vc * vc, axis=1)                          # (T, H, W)
+    v2p = sum(v2[f:f + f_cnt] for f in range(pt))          # (F, H, W)
+    boxv2 = _box_ps(v2p, ps)                               # (F, H', W')
+    q2 = boxv2
+
+    pad = ((0, 0), (half, half), (half, half))
+
+    pad4 = ((0, 0), (0, 0), (half, half), (half, half))
+    hp, wp = h - ps + 1, w - ps + 1
+
+    def per_dt(dt):
+        vd = jnp.roll(vc, -dt, axis=0)                     # V[t+dt] at row t
+        vd_pad = jnp.pad(vd, pad4)                         # (T, c_d, H+, W+)
+        b2d = jnp.roll(boxv2, -dt, axis=0)                 # (F, H', W')
+        b2pad = jnp.pad(b2d, pad)
+
+        def per_delta(_, didx):
+            a = didx // w_s
+            b = didx % w_s
+            # shift ONE factor (frame t+dt) by delta, multiply, box-sum:
+            # cross(x) = sum_{f,c,p} V[t+f](x+p) V[t+dt+f](x+delta+p)
+            vds = lax.dynamic_slice(vd_pad, (0, 0, a, b),
+                                    (t_len, c_d, h, w))
+            prod_full = jnp.sum(vc * vds, axis=1)          # (T, H, W)
+            prod_pt = sum(prod_full[f:f + f_cnt] for f in range(pt))
+            cross = _box_ps(prod_pt, ps)                   # (F, H', W')
+            b2s = lax.dynamic_slice(b2pad, (0, a, b), (f_cnt, hp, wp))
+            d = q2 + b2s - 2.0 * cross
+            return None, d
+
+        _, d_all = lax.scan(per_delta, None,
+                            jnp.arange(w_s * w_s, dtype=jnp.int32))
+        return d_all                                       # (ws*ws, F, H', W')
+
+    return per_dt
+
+
+def _site_rows(sites, scale, hp, wp, h_lvl, w_lvl, ps):
+    """Flat row index of each (possibly pyramid-scaled) site into
+    (F, H', W')-flattened dense buffers."""
+    t = sites[:, 0]
+    y = jnp.minimum(sites[:, 1] // scale, h_lvl - ps)
+    x = jnp.minimum(sites[:, 2] // scale, w_lvl - ps)
+    return t * (hp * wp) + y * wp + x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
+                      cfg: StageConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-flow top-K search over INTERIOR sites (see ops/mask.interior_split).
+
+    Args/returns match ops/search.exec_search (flows implicitly zero).
+    """
+    t_len, c_full, h, w = video.shape
+    k = cfg.npatches
+    ps, pt, w_s, n_dt = cfg.ps, cfg.pt, cfg.w_s, cfg.n_dt
+    half = (w_s - 1) // 2
+    s_cnt = sites.shape[0]
+    norm = float(cfg.pt * cfg.dist_chnls * cfg.ps * cfg.ps) * 255.0 ** 2
+
+    # pyramid levels (needle) — interior_split guarantees validity per level
+    videos = [video]
+    if cfg.stype == "needle":
+        r = w_s + ps - 1
+        for _ in range(1, cfg.needle_scales):
+            lh, lw = videos[-1].shape[2] // 2, videos[-1].shape[3] // 2
+            if lh < r or lw < r:
+                break
+            videos.append(_avg_pool2(videos[-1]))
+
+    per_dt_fns = [_level_dense(v, cfg) for v in videos]
+
+    ts = sites[:, 0]
+    ys = sites[:, 1]
+    xs = sites[:, 2]
+    chw = c_full * h * w
+
+    dy = jnp.arange(w_s, dtype=jnp.int32)
+    # candidate positions per site for one dt: interior => pure translation
+    cy = ys[:, None] - half + dy[None, :]                   # (S, w_s)
+    cx = xs[:, None] - half + dy[None, :]
+
+    all_vals = []
+    all_inds = []
+    for dt in range(-cfg.nwt_b, cfg.nwt_f + 1):
+        cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
+        for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns)):
+            d_all = fn(dt)                                  # (ws2, F, H', W')
+            lh, lw = v.shape[2], v.shape[3]
+            hp, wp = lh - ps + 1, lw - ps + 1
+            rows = _site_rows(sites, 1 << lvl, hp, wp, lh, lw, ps)
+            # transpose so each site's 225 candidates are one contiguous row
+            flat = jnp.transpose(d_all, (1, 2, 3, 0)).reshape(-1, w_s * w_s)
+            cand = cand + jnp.take(flat, rows, axis=0) / norm
+
+        f = ts + dt
+        valid = (f >= 0) & (f <= t_len - pt)                # (S,)
+        cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
+
+        fcl = jnp.clip(f, 0, t_len - pt)
+        cidx = (fcl[:, None, None] * chw + cy[:, :, None] * w
+                + cx[:, None, :]).reshape(s_cnt, -1)        # (S, ws2)
+        all_vals.append(cand)
+        all_inds.append(cidx.astype(jnp.int32))
+
+    # one-shot top-K over the full candidate axis (enumeration dt, dy, dx —
+    # identical to the gather path, so ties break identically)
+    mv = jnp.concatenate(all_vals, axis=1)                  # (S, n_dt*ws2)
+    mi = jnp.concatenate(all_inds, axis=1)
+    if cfg.topk == "approx":
+        # TPU-optimized approximate top-k (deterministic); slight recall
+        # loss swaps the rare boundary candidate for a near-equal one
+        neg, sel = lax.approx_max_k(-mv, k, recall_target=0.98)
+    else:
+        neg, sel = lax.top_k(-mv, k)
+    vals = -neg
+    inds = jnp.take_along_axis(mi, sel, axis=1)
+    inds = jnp.where(jnp.isinf(vals), -1, inds)
+    return vals, inds

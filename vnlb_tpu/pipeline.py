@@ -20,21 +20,56 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import StageConfig
 from .ops import agg, bayes, color, flat, gather, search
 from .ops.mask import batched_sites
 
 
+def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
+                    shape, n_dense_batches: int = 0):
+    """Phase 1: the search for every site batch -> inds (NB, B, K).
+
+    The first ``n_dense_batches`` batches hold interior sites and are
+    searched with the dense zero-flow path (ops/search_dense) in ONE call —
+    candidate distances are shared across the whole frame.  Remaining
+    (border / flow-driven) batches use the per-site gather path under a
+    scan.
+    """
+    from .ops.search_dense import exec_search_dense
+
+    nb, bsz, _ = site_batches.shape
+    parts = []
+    if n_dense_batches:
+        dense_sites = site_batches[:n_dense_batches].reshape(-1, 3)
+        _, inds_d = exec_search_dense(srch_yuv, dense_sites, cfg)
+        parts.append(inds_d.reshape(n_dense_batches, bsz, -1))
+    if n_dense_batches < nb:
+        ctx = search.build_search_ctx(srch_yuv, cfg)
+
+        def body(_, sites):
+            _, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg,
+                                         ctx=ctx)
+            return None, inds
+
+        _, inds_g = jax.lax.scan(body, None, site_batches[n_dense_batches:])
+        parts.append(inds_g)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
-               valid_batches, cfg: StageConfig, shape, axis_name=None):
+               valid_batches, cfg: StageConfig, shape, axis_name=None,
+               n_dense_batches: int = 0):
     """Scan all site batches; returns image-space (deno (T,C,H,W),
     weights (T,H,W)) accumulators (un-normalized).
 
     TPU-first data layout: the videos are unfolded once into patch columns
     (ops/gather.im2col), so every patch-group gather is a contiguous row
     gather and aggregation is a row scatter into column space, folded
-    densely back to image space once at the end (ops/agg.fold).
+    densely back to image space once at the end (ops/agg.fold).  The search
+    runs as a separate phase (``precompute_inds``) so the dense zero-flow
+    path can share candidate work across the whole frame.
 
     ``axis_name`` marks the accumulators as device-varying when running
     inside ``shard_map`` (scan carry typing).
@@ -43,10 +78,12 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
     d = c * cfg.ps * cfg.ps
 
+    inds_batches = precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg,
+                                   shape, n_dense_batches)
+
     cols_noisy, _ = gather.cols_rows(gather.im2col(noisy_yuv, cfg.ps))
     cols_basic = (gather.cols_rows(gather.im2col(basic_yuv, cfg.ps))[0]
                   if cfg.step == 1 else None)
-    search_ctx = search.build_search_ctx(srch_yuv, cfg)
 
     acc0 = jnp.zeros((t_len * hp * wp, d), jnp.float32)
     wacc0 = jnp.zeros((t_len * hp * wp,), jnp.float32)
@@ -56,10 +93,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
 
     def body(carry, xs):
         acc, wacc = carry
-        sites, valid = xs
-
-        vals, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg,
-                                        ctx=search_ctx)
+        valid, inds = xs
         rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
 
         pnoisy = gather.fill_patches_cols(cols_noisy, rows, cfg.pt, cfg.ps, c)
@@ -69,7 +103,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         if cfg.deno == "bayes":
             flat_flags = (flat.flat_areas(pnoisy, cfg.gamma, cfg.sigma2)
                           if (cfg.step == 1 and cfg.flat_areas)
-                          else jnp.zeros((sites.shape[0],), bool))
+                          else jnp.zeros((valid.shape[0],), bool))
             if cfg.step == 1:
                 pfilt, _ = bayes.bayes_denoise(pnoisy, pbasic, flat_flags, cfg)
             else:
@@ -84,7 +118,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         return (acc, wacc), None
 
     (acc, wacc), _ = jax.lax.scan(
-        body, (acc0, wacc0), (site_batches, valid_batches))
+        body, (acc0, wacc0), (valid_batches, inds_batches))
     return agg.fold(acc, wacc, cfg.pt, cfg.ps, shape)
 
 
@@ -93,32 +127,81 @@ def select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg: StageConfig):
             "clean": clean_yuv}[cfg.srch_img]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "shape"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "shape", "n_dense_batches"))
 def _proc_nl_jit(noisy, basic, clean, fflow, bflow, site_batches,
-                 valid_batches, cfg: StageConfig, shape):
+                 valid_batches, cfg: StageConfig, shape,
+                 n_dense_batches: int = 0):
     noisy_yuv = color.rgb2yuv(noisy)
     basic_yuv = color.rgb2yuv(basic)
     clean_yuv = color.rgb2yuv(clean)
     srch = select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg)
 
     deno_img, wts_img = accumulate(noisy_yuv, basic_yuv, srch, fflow, bflow,
-                                   site_batches, valid_batches, cfg, shape)
+                                   site_batches, valid_batches, cfg, shape,
+                                   n_dense_batches=n_dense_batches)
 
     fallback = basic_yuv if cfg.step == 1 else noisy_yuv
     deno_yuv = agg.finalize_img(deno_img, wts_img, fallback)
     return color.yuv2rgb(deno_yuv)
 
 
+def _pad_batch(sites, bsize):
+    s = sites.shape[0]
+    nb = -(-s // bsize) if s else 0
+    pad = nb * bsize - s
+    valid = np.ones((s,), dtype=bool)
+    if pad:
+        filler = sites[:1] if s else np.zeros((1, 3), np.int32)
+        sites = np.concatenate([sites, np.tile(filler, (pad, 1))], axis=0)
+        valid = np.concatenate([valid, np.zeros((pad,), bool)])
+    return sites.reshape(nb, bsize, 3), valid.reshape(nb, bsize)
+
+
+def plan_sites(shape, cfg: StageConfig, zero_flow: bool):
+    """Host-side site planning (static per shape/config).
+
+    With zero flow, interior sites go first (searched densely in one call),
+    border sites after (gather path); otherwise one raster-order batching.
+    Returns (site_batches, valid_batches, n_dense_batches).
+    """
+    if not zero_flow:
+        sb, vb = batched_sites(shape, cfg)
+        return sb, vb, 0
+    from .ops.mask import interior_split, lattice_sites
+
+    sites = lattice_sites(shape, cfg)
+    interior, border = interior_split(sites, shape, cfg)
+    sbi, vbi = _pad_batch(interior, cfg.bsize)
+    sbb, vbb = _pad_batch(border, cfg.bsize)
+    if sbi.shape[0] == 0:
+        return sbb, vbb, 0
+    if sbb.shape[0] == 0:
+        return sbi, vbi, sbi.shape[0]
+    return (np.concatenate([sbi, sbb]), np.concatenate([vbi, vbb]),
+            sbi.shape[0])
+
+
 def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
-            fflow, bflow, cfg: StageConfig) -> jnp.ndarray:
-    """Run one VNLB pass; RGB (T,C,H,W) in, RGB denoised out."""
+            fflow, bflow, cfg: StageConfig,
+            zero_flow: Optional[bool] = None) -> jnp.ndarray:
+    """Run one VNLB pass; RGB (T,C,H,W) in, RGB denoised out.
+
+    ``zero_flow`` selects the dense shared-candidate search (exact for the
+    default zero-flow configuration); auto-detected from the flow values
+    when not given.
+    """
     noisy = jnp.asarray(noisy, jnp.float32)
     shape = tuple(int(s) for s in noisy.shape)
     basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
     clean = noisy if clean is None else jnp.asarray(clean, jnp.float32)
+    if zero_flow is None:
+        zero_flow = (not np.any(np.asarray(fflow))
+                     and not np.any(np.asarray(bflow)))
     fflow = jnp.asarray(fflow, jnp.float32)
     bflow = jnp.asarray(bflow, jnp.float32)
 
-    sb, vb = batched_sites(shape, cfg)
+    sb, vb, n_dense = plan_sites(shape, cfg, zero_flow)
     return _proc_nl_jit(noisy, basic, clean, fflow, bflow,
-                        jnp.asarray(sb), jnp.asarray(vb), cfg, shape)
+                        jnp.asarray(sb), jnp.asarray(vb), cfg, shape,
+                        n_dense_batches=n_dense)
