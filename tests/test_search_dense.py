@@ -18,6 +18,27 @@ def _mk(seed, t=4, h=48, w=52):
     return video, zf
 
 
+def _strict_interior(sites, shape, cfg):
+    """Sites whose window never clamps at ANY pyramid level — the subset on
+    which dense and gather results are bit-equal (coarse-clamped sites use
+    the documented clamped-center approximation)."""
+    t, c, h, w = shape
+    half = (cfg.w_s - 1) // 2
+    n_lvl = cfg.needle_scales if cfg.stype == "needle" else 1
+    ok = np.ones(sites.shape[0], bool)
+    lh, lw = h, w
+    ys, xs = sites[:, 1], sites[:, 2]
+    for lvl in range(n_lvl):
+        if lvl:
+            lh, lw = lh // 2, lw // 2
+            if lh < cfg.w_s + cfg.ps - 1 or lw < cfg.w_s + cfg.ps - 1:
+                break
+            ys, xs = ys // 2, xs // 2
+        ok &= (ys >= half) & (ys <= lh - cfg.ps - half)
+        ok &= (xs >= half) & (xs <= lw - cfg.ps - half)
+    return sites[ok]
+
+
 @pytest.mark.parametrize("step,stype", [(0, "l2"), (1, "l2"), (0, "needle")])
 def test_dense_matches_gather_interior(step, stype):
     video, zf = _mk(3 + step)
@@ -25,7 +46,8 @@ def test_dense_matches_gather_interior(step, stype):
     cfg = default_config(20.0, preset="iphone").stage(step).replace(
         nwt_b=3, nwt_f=3, npatches=20, stype=stype)
     sites = lattice_sites(shape, cfg)
-    interior, border = interior_split(sites, shape, cfg)
+    _, border = interior_split(sites, shape, cfg)
+    interior = _strict_interior(sites, shape, cfg)
     assert interior.shape[0] > 10
     assert border.shape[0] > 0
 

@@ -98,12 +98,19 @@ def _level_dense(video, cfg: StageConfig):
     return per_dt
 
 
-def _site_rows(sites, scale, hp, wp, h_lvl, w_lvl, ps):
+def _site_rows(sites, scale, hp, wp, h_lvl, w_lvl, ps, half):
     """Flat row index of each (possibly pyramid-scaled) site into
-    (F, H', W')-flattened dense buffers."""
+    (F, H', W')-flattened dense buffers.
+
+    For coarse levels (scale > 1) the position is clamped into the
+    clamp-free band [half, lvl_dim - ps - half]: the effective window then
+    equals the gather path's sliding-clamped window, with the coarse query
+    anchored at the clamped center (<= half-pixel coarse offset for sites
+    near borders — an approximation on an additive coarse term only)."""
     t = sites[:, 0]
-    y = jnp.minimum(sites[:, 1] // scale, h_lvl - ps)
-    x = jnp.minimum(sites[:, 2] // scale, w_lvl - ps)
+    lo = half if scale > 1 else 0
+    y = jnp.clip(sites[:, 1] // scale, lo, max(h_lvl - ps - lo, 0))
+    x = jnp.clip(sites[:, 2] // scale, lo, max(w_lvl - ps - lo, 0))
     return t * (hp * wp) + y * wp + x
 
 
@@ -151,7 +158,7 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
             d_all = fn(dt)                                  # (ws2, F, H', W')
             lh, lw = v.shape[2], v.shape[3]
             hp, wp = lh - ps + 1, lw - ps + 1
-            rows = _site_rows(sites, 1 << lvl, hp, wp, lh, lw, ps)
+            rows = _site_rows(sites, 1 << lvl, hp, wp, lh, lw, ps, half)
             # transpose so each site's 225 candidates are one contiguous row
             flat = jnp.transpose(d_all, (1, 2, 3, 0)).reshape(-1, w_s * w_s)
             cand = cand + jnp.take(flat, rows, axis=0) / norm
