@@ -1,0 +1,30 @@
+"""Pallas dense-distance kernel parity vs the XLA scan path (interpret mode
+on CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vnlb_tpu.config import default_config
+from vnlb_tpu.ops.mask import interior_split, lattice_sites
+from vnlb_tpu.ops.search_dense import exec_search_dense
+
+
+def test_pallas_matches_xla_dense():
+    rng = np.random.default_rng(11)
+    video = rng.uniform(0, 255, (3, 3, 40, 44)).astype(np.float32)
+    base = default_config(20.0, preset="iphone").stage(1).replace(
+        nwt_b=1, nwt_f=1, npatches=12)
+    sites = lattice_sites(video.shape, base)
+    interior, _ = interior_split(sites, video.shape, base)
+    si = jnp.asarray(interior)
+
+    xv, xi = exec_search_dense(jnp.asarray(video), si,
+                               base.replace(dense_impl="xla"))
+    pv, pi = exec_search_dense(jnp.asarray(video), si,
+                               base.replace(dense_impl="pallas"))
+    xv, xi = np.asarray(xv), np.asarray(xi)
+    pv, pi = np.asarray(pv), np.asarray(pi)
+    np.testing.assert_allclose(pv, xv, rtol=1e-5, atol=1e-6)
+    neq = np.where(pi != xi)
+    if neq[0].size:  # tie tolerance
+        assert np.abs(pv[neq] - xv[neq]).max() < 1e-6

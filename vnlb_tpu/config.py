@@ -68,6 +68,10 @@ class StageConfig:
     bsize: int = 256                # sites per lax.scan step (batch)
     needle_scales: int = 3          # pyramid levels for stype == "needle"
     topk: str = "exact"             # "exact" | "approx" (dense path only)
+    dense_impl: str = "auto"        # "auto" (pallas on TPU) | "pallas" | "xla"
+    cols_bf16: bool = False         # store patch columns in bf16 (halves
+                                    # gather/scatter traffic in the filter
+                                    # phase; ~0.4% patch quantization)
     eig_method: str = "jacobi"      # "jacobi" | "xla" | "rational" (fast)
     eig_sweeps: int = 8             # cyclic-Jacobi sweeps (fp32 converges ~6-8)
     gate_power: int = 1             # rational-gate sharpness (1 or 2)

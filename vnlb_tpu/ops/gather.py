@@ -81,7 +81,8 @@ def inds_to_rows(inds: jnp.ndarray, shape, ps: int, pt: int) -> jnp.ndarray:
 def fill_patches_cols(cols_flat: jnp.ndarray, rows: jnp.ndarray,
                       pt: int, ps: int, c: int) -> jnp.ndarray:
     """Row-gather patches: (N, C*ps*ps) cols + (B, K, pt) rows ->
-    (B, K, pt, C, ps, ps)."""
+    (B, K, pt, C, ps, ps) float32 (cols may be stored bf16 to halve
+    gather traffic — upcast after the gather)."""
     b, k, _ = rows.shape
     out = jnp.take(cols_flat, rows.reshape(-1), axis=0)
-    return out.reshape(b, k, pt, c, ps, ps)
+    return out.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)

@@ -71,6 +71,30 @@ def _level_dense(video, cfg: StageConfig):
     pad4 = ((0, 0), (0, 0), (half, half), (half, half))
     hp, wp = h - ps + 1, w - ps + 1
 
+    use_pallas = (cfg.dense_impl == "pallas"
+                  or (cfg.dense_impl == "auto"
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from .pallas_dense import dense_distances_dt
+
+        interp = jax.default_backend() != "tpu"
+
+        def stack_pt(x):                                   # (T,c,H,W)->(F,ptc,H,W)
+            return jnp.concatenate(
+                [x[f:f + f_cnt] for f in range(pt)], axis=1)
+
+        vq = stack_pt(vc)
+
+        def per_dt_pallas(dt):
+            vd = stack_pt(jnp.roll(vc, -dt, axis=0))
+            b2d = jnp.roll(boxv2, -dt, axis=0)
+            out = dense_distances_dt(vq, vd, q2, b2d, ps, w_s,
+                                     interpret=interp)     # (F,ws2,Hp8,W')
+            out = out[:, :, :hp, :]
+            return jnp.transpose(out, (1, 0, 2, 3))        # (ws2, F, H', W')
+
+        return per_dt_pallas
+
     def per_dt(dt):
         vd = jnp.roll(vc, -dt, axis=0)                     # V[t+dt] at row t
         vd_pad = jnp.pad(vd, pad4)                         # (T, c_d, H+, W+)
@@ -145,13 +169,7 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
     xs = sites[:, 2]
     chw = c_full * h * w
 
-    dy = jnp.arange(w_s, dtype=jnp.int32)
-    # candidate positions per site for one dt: interior => pure translation
-    cy = ys[:, None] - half + dy[None, :]                   # (S, w_s)
-    cx = xs[:, None] - half + dy[None, :]
-
     all_vals = []
-    all_inds = []
     for dt in range(-cfg.nwt_b, cfg.nwt_f + 1):
         cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
         for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns)):
@@ -166,17 +184,13 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
         f = ts + dt
         valid = (f >= 0) & (f <= t_len - pt)                # (S,)
         cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
-
-        fcl = jnp.clip(f, 0, t_len - pt)
-        cidx = (fcl[:, None, None] * chw + cy[:, :, None] * w
-                + cx[:, None, :]).reshape(s_cnt, -1)        # (S, ws2)
         all_vals.append(cand)
-        all_inds.append(cidx.astype(jnp.int32))
 
     # one-shot top-K over the full candidate axis (enumeration dt, dy, dx —
-    # identical to the gather path, so ties break identically)
+    # identical to the gather path, so ties break identically).  Candidate
+    # flat indices are DECODED from the selected positions instead of
+    # materializing an (S, n_dt*ws2) int32 array (saves ~2x 3.8 GB at 480p).
     mv = jnp.concatenate(all_vals, axis=1)                  # (S, n_dt*ws2)
-    mi = jnp.concatenate(all_inds, axis=1)
     if cfg.topk == "approx":
         # TPU-optimized approximate top-k (deterministic); slight recall
         # loss swaps the rare boundary candidate for a near-equal one
@@ -184,6 +198,12 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
     else:
         neg, sel = lax.top_k(-mv, k)
     vals = -neg
-    inds = jnp.take_along_axis(mi, sel, axis=1)
-    inds = jnp.where(jnp.isinf(vals), -1, inds)
+
+    dt_i = sel // (w_s * w_s) - cfg.nwt_b                   # (S, K)
+    rem = sel % (w_s * w_s)
+    fcl = jnp.clip(ts[:, None] + dt_i, 0, t_len - pt)
+    y = ys[:, None] - half + rem // w_s
+    x = xs[:, None] - half + rem % w_s
+    inds = fcl * chw + y * w + x
+    inds = jnp.where(jnp.isinf(vals), -1, inds.astype(jnp.int32))
     return vals, inds

@@ -81,9 +81,12 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     inds_batches = precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg,
                                    shape, n_dense_batches)
 
-    cols_noisy, _ = gather.cols_rows(gather.im2col(noisy_yuv, cfg.ps))
-    cols_basic = (gather.cols_rows(gather.im2col(basic_yuv, cfg.ps))[0]
-                  if cfg.step == 1 else None)
+    cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
+    cols_noisy, _ = gather.cols_rows(
+        gather.im2col(noisy_yuv, cfg.ps).astype(cdty))
+    cols_basic = (gather.cols_rows(
+        gather.im2col(basic_yuv, cfg.ps).astype(cdty))[0]
+        if cfg.step == 1 else None)
 
     acc0 = jnp.zeros((t_len * hp * wp, d), jnp.float32)
     wacc0 = jnp.zeros((t_len * hp * wp,), jnp.float32)
