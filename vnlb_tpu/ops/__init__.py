@@ -1,1 +1,2 @@
-from . import agg, bayes, color, flat, gather, mask, search  # noqa: F401
+from . import (agg, bayes, color, eigh, flat, flow, gather, linalg, mask,  # noqa: F401
+               search, search_dense, spectral)
