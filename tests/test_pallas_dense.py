@@ -28,3 +28,14 @@ def test_pallas_matches_xla_dense():
     neq = np.where(pi != xi)
     if neq[0].size:  # tie tolerance
         assert np.abs(pv[neq] - xv[neq]).max() < 1e-6
+
+
+def test_pallas_gather_rows_matches_take():
+    from vnlb_tpu.ops.pallas_gather import gather_rows
+
+    rng = np.random.default_rng(12)
+    cols = rng.normal(0, 1, (500, 256)).astype(np.float32)
+    rows = rng.integers(0, 500, (300,)).astype(np.int32)
+    got = np.asarray(gather_rows(jnp.asarray(cols), jnp.asarray(rows),
+                                 interpret=True))
+    np.testing.assert_array_equal(got, cols[rows])

@@ -77,12 +77,23 @@ def inds_to_rows(inds: jnp.ndarray, shape, ps: int, pt: int) -> jnp.ndarray:
     return base[:, :, None] + dt[None, None, :]         # (B, K, pt)
 
 
-@functools.partial(jax.jit, static_argnames=("pt", "ps", "c"))
+@functools.partial(jax.jit, static_argnames=("pt", "ps", "c", "use_pallas"))
 def fill_patches_cols(cols_flat: jnp.ndarray, rows: jnp.ndarray,
-                      pt: int, ps: int, c: int) -> jnp.ndarray:
+                      pt: int, ps: int, c: int,
+                      use_pallas: bool = False) -> jnp.ndarray:
     """Row-gather patches: (N, C*ps*ps) cols + (B, K, pt) rows ->
     (B, K, pt, C, ps, ps) float32 (cols may be stored bf16 to halve
-    gather traffic — upcast after the gather)."""
+    gather traffic — upcast after the gather).
+
+    ``use_pallas`` routes through the async-DMA gather kernel
+    (ops/pallas_gather.py) — XLA's TPU gather is ~serial per row."""
     b, k, _ = rows.shape
-    out = jnp.take(cols_flat, rows.reshape(-1), axis=0)
+    d = c * ps * ps
+    if use_pallas:
+        from .pallas_gather import gather_rows
+
+        # cols must be lane-padded (width % 128 == 0) by the caller
+        out = gather_rows(cols_flat, rows.reshape(-1))[:, :d]
+    else:
+        out = jnp.take(cols_flat, rows.reshape(-1), axis=0)[:, :d]
     return out.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)
