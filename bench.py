@@ -3,7 +3,11 @@
 
 Prints ONE JSON line:
   {"metric": "davis480p_fps", "value": N, "unit": "frames/sec",
-   "vs_baseline": N/30}
+   "vs_baseline": N / 0.0345}
+where vs_baseline compares against the REFERENCE implementation's measured
+throughput (~2m25s for 5 frames of 480p => 0.0345 fps, C++ OpenMP and
+Python+GPU alike per BASELINE.md); the 30 fps north-star ratio is logged to
+stderr.
 
 Baseline context (BASELINE.md): the reference C++/OpenMP and Python+GPU
 implementations both take ~2m25s for a 5-frame DAVIS-480p clip at sigma=20

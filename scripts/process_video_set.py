@@ -12,6 +12,7 @@ import _bootstrap  # noqa: F401
 import argparse
 import json
 import traceback
+import zlib
 from pathlib import Path
 
 from vnlb_tpu.testing.data import data_root
@@ -56,8 +57,10 @@ def main():
         src = (root / vid) if root else "davis_64x64"
         for attempt in range(args.retries + 1):
             try:
+                # stable across processes (Python's str hash is randomized)
+                seed = zlib.crc32(vid.encode()) % 2 ** 31
                 res = run_sequence(src, args.sigma, args.preset, args.nframes,
-                                   args.vid_set, seed=hash(vid) % 2 ** 31)
+                                   args.vid_set, seed=seed)
                 res["video"] = vid
                 results.append(res)
                 print(f"[{i + 1}/{len(videos)}] {vid}: "

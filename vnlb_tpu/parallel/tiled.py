@@ -28,8 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import StageConfig, VnlbConfig, default_config
 from ..ops import agg, color
-from ..ops.mask import batched_sites
-from ..pipeline import accumulate, select_search_image
+from ..pipeline import accumulate, plan_sites, select_search_image
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "sites") -> Mesh:
@@ -38,15 +37,11 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "sites") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def _shard_batches(shape, cfg: StageConfig, n_dev: int):
-    """Site batches padded so the per-scan batch splits evenly over chips."""
-    bsize = ((cfg.bsize + n_dev - 1) // n_dev) * n_dev
-    return batched_sites(shape, cfg, bsize)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "shape", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "shape", "mesh",
+                                             "n_dense_batches"))
 def _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow, site_batches,
-                         valid_batches, cfg: StageConfig, shape, mesh: Mesh):
+                         valid_batches, cfg: StageConfig, shape, mesh: Mesh,
+                         n_dense_batches: int = 0):
     noisy_yuv = color.rgb2yuv(noisy)
     basic_yuv = color.rgb2yuv(basic)
     clean_yuv = color.rgb2yuv(clean)
@@ -54,9 +49,13 @@ def _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow, site_batches,
 
     def shard_fn(n_yuv, b_yuv, s_yuv, ff, bf, sb, vb):
         # accumulate folds per-device partial images; fold is linear, so the
-        # psum over ICI gives the exact single-device accumulators
+        # psum over ICI gives the exact single-device accumulators.  The
+        # dense shared-candidate search fast path is per-device (its
+        # candidate distances depend on the replicated video only), so each
+        # chip runs it on its shard of the interior sites.
         deno_img, wts_img = accumulate(n_yuv, b_yuv, s_yuv, ff, bf, sb, vb,
-                                       cfg, shape, axis_name="sites")
+                                       cfg, shape, axis_name="sites",
+                                       n_dense_batches=n_dense_batches)
         deno_img = jax.lax.psum(deno_img, "sites")
         wts_img = jax.lax.psum(wts_img, "sites")
         return deno_img, wts_img
@@ -74,19 +73,30 @@ def _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow, site_batches,
 
 
 def proc_nl_sharded(noisy, basic, clean, fflow, bflow, cfg: StageConfig,
-                    mesh: Mesh) -> jnp.ndarray:
+                    mesh: Mesh, zero_flow: Optional[bool] = None
+                    ) -> jnp.ndarray:
+    from ..utils.index import check_codec_range
+
     noisy = jnp.asarray(noisy, jnp.float32)
     shape = tuple(int(s) for s in noisy.shape)
+    check_codec_range(shape)
     basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
     clean = noisy if clean is None else jnp.asarray(clean, jnp.float32)
+    if zero_flow is None:
+        zero_flow = (not np.any(np.asarray(fflow))
+                     and not np.any(np.asarray(bflow)))
     fflow = jnp.asarray(fflow, jnp.float32)
     bflow = jnp.asarray(bflow, jnp.float32)
 
     n_dev = mesh.devices.size
-    sb, vb = _shard_batches(shape, cfg, n_dev)
+    # per-scan batch must split evenly over chips
+    bsize = ((cfg.bsize + n_dev - 1) // n_dev) * n_dev
+    cfg_pad = cfg.replace(bsize=bsize)
+    sb, vb, n_dense = plan_sites(shape, cfg_pad, zero_flow)
     return _proc_nl_sharded_jit(noisy, basic, clean, fflow, bflow,
                                 jnp.asarray(sb), jnp.asarray(vb),
-                                cfg, shape, mesh)
+                                cfg_pad, shape, mesh,
+                                n_dense_batches=n_dense)
 
 
 def denoise_sharded(noisy, sigma: float, mesh: Optional[Mesh] = None,

@@ -91,8 +91,13 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     acc0 = jnp.zeros((t_len * hp * wp, d), jnp.float32)
     wacc0 = jnp.zeros((t_len * hp * wp,), jnp.float32)
     if axis_name is not None:
-        acc0 = jax.lax.pvary(acc0, axis_name)
-        wacc0 = jax.lax.pvary(wacc0, axis_name)
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            acc0 = pcast(acc0, axis_name, to="varying")
+            wacc0 = pcast(wacc0, axis_name, to="varying")
+        else:
+            acc0 = jax.lax.pvary(acc0, axis_name)
+            wacc0 = jax.lax.pvary(wacc0, axis_name)
 
     def body(carry, xs):
         acc, wacc = carry
@@ -194,8 +199,11 @@ def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
     default zero-flow configuration); auto-detected from the flow values
     when not given.
     """
+    from .utils.index import check_codec_range
+
     noisy = jnp.asarray(noisy, jnp.float32)
     shape = tuple(int(s) for s in noisy.shape)
+    check_codec_range(shape)
     basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
     clean = noisy if clean is None else jnp.asarray(clean, jnp.float32)
     if zero_flow is None:

@@ -99,15 +99,72 @@ def load_dataset(name: str, sigma: float = 20.0, seed: int = 0):
     return dict(clean=clean, noisy=noisy, std=std, fflow=fflow, bflow=bflow)
 
 
+def _read_frame_seq(root: Path, pattern: str):
+    """Read `pattern % i` frames (tif/png) until the first missing index;
+    returns (T, 3, H, W) float32 or None."""
+    import cv2
+
+    frames = []
+    for i in range(10000):
+        p = root / (pattern % i)
+        if not p.exists():
+            break
+        img = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+        if img is None:
+            break
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        frames.append(np.transpose(img, (2, 0, 1)).astype(np.float32))
+    return np.stack(frames) if frames else None
+
+
 def load_golden(name: str):
-    """Load C++ golden outputs when present on disk (reference
-    testing/data_loader.py:44-60 layout); returns None when absent."""
+    """Load C++ golden outputs when present on disk; returns None when
+    absent.  Supports two layouts:
+
+    * this repo's `.npy` cache (`deno.npy` / `basic.npy` / `noisy.npy`);
+    * the reference's tif layout (testing/data_loader.py:44-60):
+      noisy `%03d.tif`, basic `bsic_%03d.tif`, denoised `deno_%03d.tif`,
+      TV-L1 flows `tvl1_%03d_{f,b}.flo`, `sigma.txt`.
+    """
     root = data_root() / name
-    f = root / "deno.npy"
-    if not f.exists():
-        return None
-    out = {"deno": np.load(f)}
-    b = root / "basic.npy"
-    if b.exists():
-        out["basic"] = np.load(b)
+    out = {}
+    if (root / "deno.npy").exists():
+        out["deno"] = np.load(root / "deno.npy")
+        for k in ("basic", "noisy"):
+            f = root / f"{k}.npy"
+            if f.exists():
+                out[k] = np.load(f)
+    else:
+        deno = _read_frame_seq(root, "deno_%03d.tif") if root.exists() \
+            else None
+        if deno is None:
+            return None
+        out["deno"] = deno
+        basic = _read_frame_seq(root, "bsic_%03d.tif")
+        if basic is not None:
+            out["basic"] = basic
+        noisy = _read_frame_seq(root, "%03d.tif")
+        if noisy is not None:
+            out["noisy"] = noisy
+    std_file = root / "sigma.txt"
+    if std_file.exists():
+        out["sigma"] = float(std_file.read_text())
+    flo = root / "tvl1_000_f.flo"
+    if flo.exists():
+        from ..utils.flow_io import read_flo
+
+        ff, bf = [], []
+        for i in range(out["deno"].shape[0]):
+            fp = root / f"tvl1_{i:03d}_f.flo"
+            bp = root / f"tvl1_{i:03d}_b.flo"
+            if fp.exists():
+                ff.append(np.transpose(read_flo(fp), (2, 0, 1)))
+            if bp.exists():
+                bf.append(np.transpose(read_flo(bp), (2, 0, 1)))
+        if ff:
+            out["fflow"] = np.stack(ff)
+        if bf:
+            out["bflow"] = np.stack(bf)
     return out
