@@ -1,0 +1,78 @@
+"""Polynomial fast-path quality: the Newton-Schulz + Chebyshev spectral
+filter (ops/polyspec.py) must track the exact eigendecomposition filter at
+the patch level AND end-to-end — strictly tighter than the rational path
+(test_spectral.py): the sign-gate transition is sharper than the rational
+gate, so the basic pass no longer runs soft.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vnlb_tpu.api import denoise
+from vnlb_tpu.config import default_config
+from vnlb_tpu.ops.bayes import bayes_denoise
+from vnlb_tpu.testing.data import add_noise, synthetic_video
+from vnlb_tpu.utils.metrics import compute_psnr
+
+
+def _groups(rng, b=8, k=60, pt=2, c=3, ps=7, sigma=20.0):
+    base = rng.normal(120, 35, (b, 1, pt * c * ps * ps))
+    struct = rng.normal(0, 25, (b, 4, pt * c * ps * ps))
+    coefs = rng.normal(0, 1, (b, k, 4))
+    clean = base + np.einsum("bkr,brp->bkp", coefs, struct)
+    noisy = clean + rng.normal(0, sigma, clean.shape)
+    shape = (b, k, pt, c, ps, ps)
+    return (noisy.reshape(shape).astype(np.float32),
+            clean.reshape(shape).astype(np.float32))
+
+
+def test_poly_tracks_exact_filter():
+    rng = np.random.default_rng(0)
+    sigma = 20.0
+    pnoisy, pclean = _groups(rng, sigma=sigma)
+    flat = np.zeros((pnoisy.shape[0],), bool)
+    cfg_x = default_config(sigma).stage(1).replace(eig_method="xla")
+    cfg_p = default_config(sigma).stage(1).replace(eig_method="poly")
+    exact, _ = bayes_denoise(jnp.asarray(pnoisy), jnp.asarray(pclean),
+                             jnp.asarray(flat), cfg_x)
+    fast, _ = bayes_denoise(jnp.asarray(pnoisy), jnp.asarray(pclean),
+                            jnp.asarray(flat), cfg_p)
+    exact, fast = np.asarray(exact), np.asarray(fast)
+    rel = np.abs(fast - exact).mean() / (np.abs(exact - exact.mean()).mean())
+    assert rel < 0.10, rel
+    e_noisy = ((pnoisy - pclean) ** 2).mean()
+    assert ((fast - pclean) ** 2).mean() < 0.6 * e_noisy
+
+
+def test_poly_step0_tracks_exact_filter():
+    rng = np.random.default_rng(1)
+    sigma = 20.0
+    pnoisy, pclean = _groups(rng, b=8, k=100, pt=1, sigma=sigma)
+    cfg_x = default_config(sigma).stage(0).replace(eig_method="xla", pt=1)
+    cfg_p = default_config(sigma).stage(0).replace(eig_method="poly", pt=1)
+    exact, _ = bayes_denoise(jnp.asarray(pnoisy), None, None, cfg_x)
+    fast, _ = bayes_denoise(jnp.asarray(pnoisy), None, None, cfg_p)
+    exact, fast = np.asarray(exact), np.asarray(fast)
+    rel = np.abs(fast - exact).mean() / (np.abs(exact - exact.mean()).mean())
+    assert rel < 0.10, rel
+
+
+def test_poly_two_pass_psnr_delta():
+    clean = synthetic_video(3, 40, 40, seed=3)
+    sigma = 20.0
+    noisy = add_noise(clean, sigma, seed=4)
+
+    cfg_exact = default_config(sigma, preset="iphone", eig_method="jacobi")
+    cfg_fast = default_config(sigma, preset="iphone", eig_method="poly")
+    d_e, b_e, _ = denoise(noisy, sigma, cfg=cfg_exact)
+    d_f, b_f, _ = denoise(noisy, sigma, cfg=cfg_fast)
+
+    p_de = compute_psnr(np.asarray(d_e), clean)
+    p_df = compute_psnr(np.asarray(d_f), clean)
+    p_be = compute_psnr(np.asarray(b_e), clean)
+    p_bf = compute_psnr(np.asarray(b_f), clean)
+    # BASELINE.md quality budget: <=0.1 dB — BOTH passes (the rational path
+    # only met it on deno; the sharper sign gate fixes basic)
+    assert abs(p_de - p_df) < 0.10, (p_de, p_df)
+    assert abs(p_be - p_bf) < 0.10, (p_be, p_bf)
+    assert p_df > compute_psnr(noisy, clean) + 4.0

@@ -72,11 +72,15 @@ class StageConfig:
     cols_bf16: bool = False         # store patch columns in bf16 (halves
                                     # gather/scatter traffic in the filter
                                     # phase; ~0.4% patch quantization)
-    eig_method: str = "jacobi"      # "jacobi" | "xla" | "rational" (fast)
+    eig_method: str = "jacobi"      # "jacobi" | "xla" | "rational" | "poly"
     eig_sweeps: int = 8             # cyclic-Jacobi sweeps (fp32 converges ~6-8)
     gate_power: int = 1             # rational-gate sharpness (1 or 2)
     gate_scale: float = 1.0         # rational-gate center, x tau (tuned:
                                     # two-pass deno within +-0.05 dB of exact)
+    ns_iters: int = 14              # poly path: Newton-Schulz sign-gate
+                                    # iterations (transition width ~1.5^-n)
+    poly_deg: int = 12              # poly path: Chebyshev degree of the
+                                    # smooth Wiener factor
 
     # -- derived --
     @property
@@ -140,9 +144,13 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     s0 = dict(base, step=0, sigma_basic=float(sigma), npatches=100, gamma=0.95,
               thresh=2.7, tau=0.0, flat_areas=False, offset=offset0,
               srch_img="noisy", cpatches="noisy", dist_chnls=1)
+    # stage 1 poly knobs: the covariance source is the (nearly clean) basic
+    # estimate, whose spectrum has a wide gap at tau — fewer sign iterations
+    # and a lower Wiener degree hold the <=0.1 dB budget (test_polyspec)
     s1 = dict(base, step=1, sigma_basic=0.0, npatches=60, gamma=0.2,
               thresh=0.7, tau=400.0, flat_areas=True, offset=0.0,
-              srch_img="basic", cpatches="basic", dist_chnls=3)
+              srch_img="basic", cpatches="basic", dist_chnls=3,
+              ns_iters=10, poly_deg=8)
 
     if preset in ("sss", "sss_v2", "iphone"):
         for s in (s0, s1):

@@ -79,10 +79,15 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
     xc2 = xc.reshape(b * c, k, p)
     xn2 = xn.reshape(b * c, k, p)
 
-    if cfg.eig_method == "rational":
-        from .spectral import rational_filter
+    if cfg.eig_method in ("rational", "poly"):
+        if cfg.eig_method == "poly":
+            from .polyspec import poly_filter
 
-        xf = rational_filter(xc2, xn2, cfg)
+            xf = poly_filter(xc2, xn2, cfg)
+        else:
+            from .spectral import rational_filter
+
+            xf = rational_filter(xc2, xn2, cfg)
         # rank_var = full eigenvalue mass = trace(C) = ||Xc||^2 / K, exact
         trace = jnp.sum(xc2 * xc2, axis=(1, 2)) / k
         rank_var = trace.reshape(b, c).mean(axis=1)

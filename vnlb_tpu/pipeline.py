@@ -204,6 +204,11 @@ def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
     noisy = jnp.asarray(noisy, jnp.float32)
     shape = tuple(int(s) for s in noisy.shape)
     check_codec_range(shape)
+    r = cfg.w_s + cfg.ps - 1
+    if shape[2] < r or shape[3] < r:
+        raise ValueError(
+            f"frame {shape[2]}x{shape[3]} smaller than search region "
+            f"{r}x{r}; reduce w_s or pad the video")
     basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
     clean = noisy if clean is None else jnp.asarray(clean, jnp.float32)
     if zero_flow is None:
