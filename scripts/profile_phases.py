@@ -105,26 +105,21 @@ def main():
         # phase 3c: scatter only
         hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
         d = 3 * cfg.ps * cfg.ps
-        acc0 = jnp.zeros((t * hp * wp, d), jnp.float32)
-        wacc0 = jnp.zeros((t * hp * wp,), jnp.float32)
+        acc0 = jnp.zeros((t * hp * wp, d + 1), jnp.float32)
 
-        def scan_scatter(acc, wacc, rows_all, vb_all, patch):
-            def body(carry, xs):
-                a, wa = carry
+        def scan_scatter(acc, rows_all, vb_all, patch):
+            def body(a, xs):
                 rows, valid = xs
-                a, wa = agg.agg_rows(a, wa, patch, rows, valid)
-                return (a, wa), None
-            (a, wa), _ = jax.lax.scan(body, (acc, wacc), (rows_all, vb_all))
-            return a, wa
+                return agg.agg_rows(a, patch, rows, valid), None
+            a, _ = jax.lax.scan(body, acc, (rows_all, vb_all))
+            return a
         vk = vbj[:, :, None] & (inds_b >= 0)
-        t_scatter, _ = timeit(jax.jit(scan_scatter), acc0, wacc0, rows_b,
-                              vk, pn)
+        t_scatter, _ = timeit(jax.jit(scan_scatter), acc0, rows_b, vk, pn)
         print(f"scatter (scan)       : {t_scatter:7.3f} s")
 
         # phase 4: fold
         t_fold, _ = timeit(
-            jax.jit(lambda a, wv: agg.fold(a, wv, cfg.pt, cfg.ps, shape)),
-            acc0, wacc0)
+            jax.jit(lambda a: agg.fold(a, cfg.pt, cfg.ps, shape)), acc0)
         print(f"fold                 : {t_fold:7.3f} s")
 
         # full pass

@@ -1,0 +1,82 @@
+"""The formerly-declarative config knobs are real: tau, beta, only_frame,
+couple_channels (round-1 verdict: zero silently-ignored config fields).
+
+Reference anchors: tau params.py:40 (C++ similarity threshold), beta
+bayes_est_old.py:53, onlyFrame comp_agg.py:234, coupleChannels
+params.py:173-179.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vnlb_tpu.config import default_config
+from vnlb_tpu.ops.bayes import bayes_denoise
+from vnlb_tpu.ops.search import exec_search
+from vnlb_tpu.pipeline import proc_nl
+from vnlb_tpu.testing.data import add_noise, synthetic_video
+from vnlb_tpu.utils.metrics import compute_psnr
+
+
+def _clip(t=3, h=48, w=48, sigma=20.0, seed=0):
+    clean = synthetic_video(t, h, w, seed=seed)
+    noisy = add_noise(clean, sigma, seed=seed + 1)
+    zf = np.zeros((t, 2, h, w), np.float32)
+    return clean, noisy, zf
+
+
+def test_tau_invalidates_distant_candidates():
+    clean, noisy, zf = _clip()
+    cfg = default_config(20.0, preset="iphone").stage(0).replace(
+        w_s=9, npatches=40, stype="l2")
+    sites = jnp.asarray([[1, 20, 20], [0, 8, 30]], jnp.int32)
+    vals, inds0 = exec_search(jnp.asarray(noisy), sites, jnp.asarray(zf),
+                              jnp.asarray(zf), cfg)
+    # tiny tau: only near-exact matches survive; the query itself
+    # (val = -offset) always does
+    cfg_t = cfg.replace(tau=1.0)
+    vals_t, inds_t = exec_search(jnp.asarray(noisy), sites, jnp.asarray(zf),
+                                 jnp.asarray(zf), cfg_t)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals_t))
+    tau_n = 1.0 / 255.0 ** 2 - cfg.offset
+    expect = np.where(np.asarray(vals) > tau_n, -1, np.asarray(inds0))
+    np.testing.assert_array_equal(np.asarray(inds_t), expect)
+    assert (np.asarray(inds_t) == -1).any()          # something was cut
+    assert (np.asarray(inds_t)[:, 0] >= 0).all()     # self-match survives
+
+
+def test_beta_scales_basic_variance():
+    cfg = default_config(20.0).stage(0)
+    assert cfg.sigmab2 == cfg.sigma_basic ** 2
+    assert cfg.replace(beta=0.5).sigmab2 == 0.5 * cfg.sigma_basic ** 2
+    # beta changes the filter output (shrinkage strength)
+    rng = np.random.default_rng(0)
+    pn = rng.normal(100, 20, (4, 100, 1, 3, 7, 7)).astype(np.float32)
+    out1, _ = bayes_denoise(jnp.asarray(pn), None, None,
+                            cfg.replace(pt=1, eig_method="xla"))
+    out2, _ = bayes_denoise(jnp.asarray(pn), None, None,
+                            cfg.replace(pt=1, eig_method="xla", beta=0.1))
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_only_frame_restricts_aggregation():
+    clean, noisy, zf = _clip()
+    cfg = default_config(20.0, preset="iphone").stage(0).replace(only_frame=1)
+    out = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
+    # frames != 1 never receive aggregated patches -> zero weights ->
+    # fallback to the noisy input (proc_nl epilogue)
+    np.testing.assert_allclose(out[0], noisy[0], atol=1e-3)
+    np.testing.assert_allclose(out[2], noisy[2], atol=1e-3)
+    assert not np.allclose(out[1], noisy[1], atol=1.0)  # frame 1 denoised
+
+
+def test_couple_channels_joint_prior():
+    clean, noisy, zf = _clip(sigma=20.0)
+    cfg = default_config(20.0, preset="iphone").stage(0)
+    out_sep = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
+    out_cc = np.asarray(proc_nl(noisy, None, None, zf, zf,
+                                cfg.replace(couple_channels=True)))
+    assert out_cc.shape == out_sep.shape
+    assert not np.allclose(out_cc, out_sep)            # different prior
+    # both denoise
+    assert compute_psnr(out_cc, clean) > compute_psnr(noisy, clean) + 2.0
+    assert compute_psnr(out_sep, clean) > compute_psnr(noisy, clean) + 2.0

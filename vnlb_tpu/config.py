@@ -37,6 +37,25 @@ class StageConfig:
     * ``dist_chnls``      : channels used by the patch distance (the C++
                             algorithm searches on Y only in step 0 and on all
                             channels of the basic estimate in step 1).
+    * ``tau``             : similarity threshold (C++ VNLB semantics): when
+                            > 0, candidates whose mean per-pixel squared
+                            distance exceeds tau are invalidated (ind = -1,
+                            excluded from aggregation).  tau = 400 means an
+                            RMS pixel difference of 20 on the search image.
+                            0 disables (the reference's effective behavior —
+                            it declares tau but never reads it).
+    * ``beta``            : multiplier on sigma_basic^2 in the eigenvalue
+                            shrinkage (reference bayes_est_old.py:53).
+    * ``only_frame``      : when >= 0, aggregate only into this frame
+                            (reference comp_agg.py:234 legacy semantics).
+    * ``couple_channels`` : estimate ONE joint prior over all channels
+                            (patch dim becomes c*pt*ps^2) instead of a
+                            per-channel prior (reference params.py:173-179).
+    * ``aggre_boost``     : consumed by the random-mask compat mode
+                            (vnlb_tpu/compat.py): dilate the processed-site
+                            set by the paste trick (reference
+                            mask.py:104-187); the deterministic lattice
+                            pipeline has no random mask to boost.
     """
 
     step: int
@@ -57,6 +76,9 @@ class StageConfig:
     flat_areas: bool = False
     couple_channels: bool = False
     aggre_boost: bool = True
+    nkeep: int = -1                 # compat mode: only the first nkeep
+                                    # matches dilate the work mask
+                                    # (reference mask.py:49-50); -1 = all
     step_s: int = 3
     only_frame: int = -1
     mod_sel: str = "clipped"        # eigenvalue shrinkage mode
@@ -68,6 +90,13 @@ class StageConfig:
     bsize: int = 256                # sites per lax.scan step (batch)
     needle_scales: int = 3          # pyramid levels for stype == "needle"
     topk: str = "exact"             # "exact" | "approx" (dense path only)
+    border_mode: str = "slide"      # zero-flow border handling: "slide" =
+                                    # the C++ sliding window (exact; border
+                                    # sites take the slow per-site path) |
+                                    # "mask" = out-of-bounds candidates
+                                    # masked +inf (every site rides the
+                                    # dense fast path; the top-K near
+                                    # borders picks from fewer candidates)
     dense_impl: str = "auto"        # "auto" (pallas on TPU) | "pallas" | "xla"
     cols_bf16: bool = False         # store patch columns in bf16 (halves
                                     # gather/scatter traffic in the filter
@@ -89,7 +118,10 @@ class StageConfig:
 
     @property
     def sigmab2(self) -> float:
-        return self.sigma_basic ** 2
+        """Basic-noise variance entering the eigenvalue shrinkage, scaled by
+        ``beta`` (reference intent: bayes_est_old.py:53 ``sigmab2 = beta *
+        sigmaBasic2``; the live reference code fixes beta = 1)."""
+        return self.beta * self.sigma_basic ** 2
 
     @property
     def n_dt(self) -> int:
@@ -147,8 +179,13 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     # stage 1 poly knobs: the covariance source is the (nearly clean) basic
     # estimate, whose spectrum has a wide gap at tau — fewer sign iterations
     # and a lower Wiener degree hold the <=0.1 dB budget (test_polyspec)
+    # tau: the reference DECLARES [0, 400] (params.py:40) but no live op
+    # reads it (its GPU search fixed the group size at K) — here tau is a
+    # real knob (see StageConfig.tau), so the default is "off" to match the
+    # reference's effective behavior; set tau=[0, 400] to enable the
+    # original C++ similarity threshold.
     s1 = dict(base, step=1, sigma_basic=0.0, npatches=60, gamma=0.2,
-              thresh=0.7, tau=400.0, flat_areas=True, offset=0.0,
+              thresh=0.7, tau=0.0, flat_areas=True, offset=0.0,
               srch_img="basic", cpatches="basic", dist_chnls=3,
               ns_iters=10, poly_deg=8)
 

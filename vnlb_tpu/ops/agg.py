@@ -82,40 +82,44 @@ def agg_patches(deno: jnp.ndarray, weights: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=())
-def agg_rows(acc: jnp.ndarray, wacc: jnp.ndarray, patches: jnp.ndarray,
-             rows: jnp.ndarray, valid: jnp.ndarray
-             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def agg_rows(acc: jnp.ndarray, patches: jnp.ndarray,
+             rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Accumulate patch rows.
 
-    acc:   (N, D) column-space accumulator (D = C*ps*ps).
-    wacc:  (N,) weight accumulator (one count per patch instance).
+    acc:   (N, D+1) column-space accumulator — D = C*ps*ps patch lanes plus
+           ONE weight-count lane, so patch values and weights ride a single
+           scatter (TPU scatter cost is per ROW, ~flat in row width: fusing
+           the weight lane halves the scatter bill vs a separate (N,)
+           weight scatter).
     patches: (B, K, pt, C, ps, ps) filtered patches.
     rows:  (B, K, pt) row indices (from gather.inds_to_rows).
     valid: (B,) or (B, K) bool.
     """
     b, k, pt = rows.shape
-    d = acc.shape[1]
+    d = acc.shape[1] - 1
     if valid.ndim == 1:
         valid = valid[:, None]
     vmask = jnp.broadcast_to(valid[:, :, None], (b, k, pt))
-    upd = patches.reshape(b, k, pt, d) * vmask[..., None].astype(patches.dtype)
+    vm = vmask[..., None].astype(patches.dtype)
+    upd = jnp.concatenate(
+        [patches.reshape(b, k, pt, d) * vm, vm], axis=-1)
     rows_flat = rows.reshape(-1)
-    acc = acc.at[rows_flat].add(upd.reshape(-1, d), mode="drop")
-    wacc = wacc.at[rows_flat].add(
-        vmask.reshape(-1).astype(wacc.dtype), mode="drop")
-    return acc, wacc
+    return acc.at[rows_flat].add(upd.reshape(-1, d + 1), mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("pt", "ps", "shape"))
-def fold(acc: jnp.ndarray, wacc: jnp.ndarray, pt: int, ps: int, shape
+def fold(acc: jnp.ndarray, pt: int, ps: int, shape
          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fold the column-space accumulator back to image space.
 
-    acc (N, C*ps*ps) / wacc (N,) with N = T*H'*W' -> deno (T, C, H, W),
-    weights (T, H, W): every patch-pixel offset is one dense shifted add.
+    acc (N, C*ps*ps + 1) with N = T*H'*W' (last lane = weight counts, see
+    agg_rows) -> deno (T, C, H, W), weights (T, H, W): every patch-pixel
+    offset is one dense shifted add.
     """
     t_len, c, h, w = shape
     hp, wp = h - ps + 1, w - ps + 1
+    wacc = acc[:, -1]
+    acc = acc[:, :-1]
     a = acc.reshape(t_len, hp, wp, c, ps, ps)
     a = jnp.transpose(a, (0, 3, 4, 5, 1, 2))            # (T, C, ps, ps, H', W')
     wv = wacc.reshape(t_len, hp, wp)

@@ -76,8 +76,27 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
     else:
         raise ValueError(f"unknown cpatches [{cfg.cpatches}]")
 
-    xc2 = xc.reshape(b * c, k, p)
-    xn2 = xn.reshape(b * c, k, p)
+    if cfg.couple_channels:
+        # joint prior over channels: ONE covariance of dimension c*p per
+        # group (reference params.py:173-179 coupleChannels semantics);
+        # centering stays per-channel (it commutes with the concat)
+        def _join(x):
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, k, c * p)
+
+        xc2 = _join(xc)
+        xn2 = _join(xn)
+        gc = 1                              # channel groups per site
+        rank = min(cfg.rank, c * p)
+    else:
+        xc2 = xc.reshape(b * c, k, p)
+        xn2 = xn.reshape(b * c, k, p)
+        gc = c
+
+    def _unjoin(xf):
+        """(b*gc, k, p_eff) -> (B, c, K, p)."""
+        if cfg.couple_channels:
+            return jnp.transpose(xf.reshape(b, k, c, p), (0, 2, 1, 3))
+        return xf.reshape(b, c, k, p)
 
     if cfg.eig_method in ("rational", "poly"):
         if cfg.eig_method == "poly":
@@ -90,13 +109,13 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
             xf = rational_filter(xc2, xn2, cfg)
         # rank_var = full eigenvalue mass = trace(C) = ||Xc||^2 / K, exact
         trace = jnp.sum(xc2 * xc2, axis=(1, 2)) / k
-        rank_var = trace.reshape(b, c).mean(axis=1)
-        out = xf.reshape(b, c, k, p) + cnoisy
+        rank_var = trace.reshape(b, gc).mean(axis=1)
+        out = _unjoin(xf) + cnoisy
         return _from_bcnp(out, pt, ps), rank_var
 
     lam, coeff, basis, domain = _spectral_filter(xc2, cfg, rank)
 
-    rank_var = jnp.sum(lam.reshape(b, c, -1), axis=2).mean(axis=1)
+    rank_var = jnp.sum(lam.reshape(b, gc, -1), axis=2).mean(axis=1)
 
     if domain == "gram":
         # Shared-SVD identity: with Xc = sum_i sqrt(K mu_i) v_i u_i^T, the
@@ -127,7 +146,7 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
                         precision=_HI,
                      preferred_element_type=jnp.float32)
 
-    out = xf.reshape(b, c, k, p) + cnoisy
+    out = _unjoin(xf) + cnoisy
     return _from_bcnp(out, pt, ps), rank_var
 
 

@@ -50,6 +50,17 @@ def _round_half_up(x):
     return jnp.floor(x + 0.5)
 
 
+def eff_dt_range(cfg, t_len: int):
+    """Static clamp of the temporal offset range: dt can only be valid when
+    some site has 0 <= t+dt <= T-pt, i.e. |dt| <= T-pt.  Clips shorter than
+    the temporal window then skip the all-masked offset planes entirely;
+    the enumeration order of the remaining planes (dt ascending) is
+    unchanged, so tie-breaks — and the returned (vals, inds) — are
+    identical."""
+    return (max(-cfg.nwt_b, -(t_len - cfg.pt)),
+            min(cfg.nwt_f, t_len - cfg.pt))
+
+
 def track_centers(sites: jnp.ndarray, fflow: jnp.ndarray, bflow: jnp.ndarray,
                   nwt_b: int, nwt_f: int, shape) -> jnp.ndarray:
     """Flow-tracked window centers.
@@ -158,14 +169,15 @@ def _level_distances(video, xcols_flat, sites, centers, cfg: StageConfig):
     """
     t_len, _, h, w = video.shape
     ps, pt, c_d, w_s = cfg.ps, cfg.pt, cfg.dist_chnls, cfg.w_s
-    n_dt = cfg.n_dt
+    dt_lo, dt_hi = eff_dt_range(cfg, t_len)
+    n_dt = dt_hi - dt_lo + 1
     r = w_s + ps - 1
     if h < r or w < r:
         raise ValueError(
             f"frame {h}x{w} smaller than search region {r}x{r}; "
             f"reduce w_s or pad the video")
 
-    dts = jnp.arange(-cfg.nwt_b, cfg.nwt_f + 1, dtype=jnp.int32)
+    dts = jnp.arange(dt_lo, dt_hi + 1, dtype=jnp.int32)
     f_idx = sites[:, 0:1] + dts[None, :]                      # (B, n_dt)
 
     sy, sx = _window_starts(centers, w_s, ps, h, w)           # (B, n_dt)
@@ -251,7 +263,7 @@ def exec_search(video, sites: jnp.ndarray, fflow: jnp.ndarray,
     """
     t_len, c_full, h, w = video.shape
     k = cfg.npatches
-    n_dt, w_s, ps, pt = cfg.n_dt, cfg.w_s, cfg.ps, cfg.pt
+    w_s, ps, pt = cfg.w_s, cfg.ps, cfg.pt
     if w_s * w_s < k:
         raise ValueError(f"w_s^2={w_s * w_s} < K={k}: not enough candidates")
 
@@ -261,6 +273,9 @@ def exec_search(video, sites: jnp.ndarray, fflow: jnp.ndarray,
 
     centers = track_centers(sites, fflow, bflow, cfg.nwt_b, cfg.nwt_f,
                             video.shape)
+    # keep only the statically-valid temporal offsets (see eff_dt_range)
+    dt_lo, dt_hi = eff_dt_range(cfg, t_len)
+    centers = centers[:, dt_lo + cfg.nwt_b:dt_hi + cfg.nwt_b + 1]
 
     d, (sy, sx), f_idx = _level_distances(videos[0], xcols[0], sites,
                                           centers, cfg)
@@ -312,4 +327,17 @@ def exec_search(video, sites: jnp.ndarray, fflow: jnp.ndarray,
     vals = -neg_vals
     inds = jnp.take_along_axis(i_flat, sel, axis=1)
     inds = jnp.where(jnp.isinf(vals), -1, inds)
-    return vals, inds
+    return vals, _apply_tau(vals, inds, cfg)
+
+
+def _apply_tau(vals, inds, cfg: StageConfig):
+    """C++-VNLB similarity threshold: when ``cfg.tau`` > 0, candidates whose
+    mean per-pixel squared distance exceeds tau are invalidated (ind = -1 —
+    excluded from aggregation, like the reference's -1 convention).  ``vals``
+    are normalized to the [0,1] pixel scale and offset-subtracted, so the
+    threshold on that scale is tau/255^2 - offset.  For ``stype='needle'``
+    the pyramid-sum distance is compared as-is (the coarse terms only add)."""
+    if cfg.tau <= 0:
+        return inds
+    tau_n = cfg.tau / (255.0 ** 2) - cfg.offset
+    return jnp.where(vals > tau_n, -1, inds)

@@ -169,8 +169,29 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
     xs = sites[:, 2]
     chw = c_full * h * w
 
+    # static clamp: dt is only ever valid when some site has 0 <= t+dt <=
+    # T-pt, i.e. |dt| <= T-pt — clips with fewer frames than the temporal
+    # window skip the all-masked planes entirely (enumeration order of the
+    # remaining planes is unchanged, so tie-breaks are identical)
+    dt_lo = max(-cfg.nwt_b, -(t_len - pt))
+    dt_hi = min(cfg.nwt_f, t_len - pt)
+
+    # border_mode == "mask": sites may sit near the frame border; their
+    # out-of-bounds candidates read zero-padded garbage from the dense
+    # buffers and are masked +inf here (the top-K then selects from the
+    # fewer in-bounds candidates — a documented delta vs the C++ sliding
+    # window, which keeps w_s^2 candidates by shifting the window inward)
+    oob = None
+    if cfg.border_mode == "mask":
+        dgrid = jnp.arange(w_s, dtype=jnp.int32)
+        cy_all = ys[:, None, None] - half + dgrid[None, :, None]
+        cx_all = xs[:, None, None] - half + dgrid[None, None, :]
+        oob = ((cy_all < 0) | (cy_all > h - ps)
+               | (cx_all < 0) | (cx_all > w - ps))
+        oob = oob.reshape(s_cnt, w_s * w_s)
+
     all_vals = []
-    for dt in range(-cfg.nwt_b, cfg.nwt_f + 1):
+    for dt in range(dt_lo, dt_hi + 1):
         cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
         for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns)):
             d_all = fn(dt)                                  # (ws2, F, H', W')
@@ -184,6 +205,8 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
         f = ts + dt
         valid = (f >= 0) & (f <= t_len - pt)                # (S,)
         cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
+        if oob is not None:
+            cand = jnp.where(oob, jnp.inf, cand)
         all_vals.append(cand)
 
     # one-shot top-K over the full candidate axis (enumeration dt, dy, dx —
@@ -199,11 +222,13 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
         neg, sel = lax.top_k(-mv, k)
     vals = -neg
 
-    dt_i = sel // (w_s * w_s) - cfg.nwt_b                   # (S, K)
+    dt_i = sel // (w_s * w_s) + dt_lo                       # (S, K)
     rem = sel % (w_s * w_s)
     fcl = jnp.clip(ts[:, None] + dt_i, 0, t_len - pt)
     y = ys[:, None] - half + rem // w_s
     x = xs[:, None] - half + rem % w_s
     inds = fcl * chw + y * w + x
     inds = jnp.where(jnp.isinf(vals), -1, inds.astype(jnp.int32))
-    return vals, inds
+    from .search import _apply_tau
+
+    return vals, _apply_tau(vals, inds, cfg)

@@ -88,19 +88,16 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         gather.im2col(basic_yuv, cfg.ps).astype(cdty))[0]
         if cfg.step == 1 else None)
 
-    acc0 = jnp.zeros((t_len * hp * wp, d), jnp.float32)
-    wacc0 = jnp.zeros((t_len * hp * wp,), jnp.float32)
+    # D patch lanes + 1 fused weight-count lane (see agg.agg_rows)
+    acc0 = jnp.zeros((t_len * hp * wp, d + 1), jnp.float32)
     if axis_name is not None:
         pcast = getattr(jax.lax, "pcast", None)
         if pcast is not None:
             acc0 = pcast(acc0, axis_name, to="varying")
-            wacc0 = pcast(wacc0, axis_name, to="varying")
         else:
             acc0 = jax.lax.pvary(acc0, axis_name)
-            wacc0 = jax.lax.pvary(wacc0, axis_name)
 
-    def body(carry, xs):
-        acc, wacc = carry
+    def body(acc, xs):
         valid, inds = xs
         rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
 
@@ -122,12 +119,17 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
             raise ValueError(f"unknown deno mode [{cfg.deno}]")
 
         valid_k = valid[:, None] & (inds >= 0)
-        acc, wacc = agg.agg_rows(acc, wacc, pfilt, rows, valid_k)
-        return (acc, wacc), None
+        if cfg.only_frame >= 0:
+            # aggregate only patches whose corner frame matches (reference
+            # comp_agg.py:234 semantics)
+            f_dec = jnp.clip(jnp.maximum(inds, 0) // (c * h * w),
+                             0, t_len - cfg.pt)
+            valid_k = valid_k & (f_dec == cfg.only_frame)
+        acc = agg.agg_rows(acc, pfilt, rows, valid_k)
+        return acc, None
 
-    (acc, wacc), _ = jax.lax.scan(
-        body, (acc0, wacc0), (valid_batches, inds_batches))
-    return agg.fold(acc, wacc, cfg.pt, cfg.ps, shape)
+    acc, _ = jax.lax.scan(body, acc0, (valid_batches, inds_batches))
+    return agg.fold(acc, cfg.pt, cfg.ps, shape)
 
 
 def select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg: StageConfig):
@@ -179,7 +181,12 @@ def plan_sites(shape, cfg: StageConfig, zero_flow: bool):
     from .ops.mask import interior_split, lattice_sites
 
     sites = lattice_sites(shape, cfg)
-    interior, border = interior_split(sites, shape, cfg)
+    if cfg.border_mode == "mask":
+        # every site rides the dense path; OOB candidates are masked +inf
+        # inside exec_search_dense
+        interior, border = sites, sites[:0]
+    else:
+        interior, border = interior_split(sites, shape, cfg)
     sbi, vbi = _pad_batch(interior, cfg.bsize)
     sbb, vbb = _pad_batch(border, cfg.bsize)
     if sbi.shape[0] == 0:
