@@ -56,8 +56,12 @@ def main():
 
     clean = synthetic_video(t, h, w, seed=0)
     noisy = add_noise(clean, sigma, seed=1)
+    # masked-border search: every site rides the dense fast path (the +inf
+    # OOB masking deltas only the 7-px border band; PSNR effect pinned by
+    # tests/test_border_mode.py and visible in the psnr line below)
+    border = os.environ.get("VNLB_BENCH_BORDER", "mask")
     cfg = default_config(sigma, preset=preset, eig_method=eig_method,
-                         step_s=step_s)
+                         step_s=step_s, border_mode=border)
 
     # warmup (compile)
     t0 = time.perf_counter()

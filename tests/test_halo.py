@@ -1,0 +1,83 @@
+"""Halo-tiled spatial sharding tests (SURVEY.md §5 long-context plan).
+
+The video volume is SPLIT over the mesh's H axis with `ppermute` halo
+exchange; these tests pin tiled == untiled on the virtual 8-device CPU
+mesh, for clips that exercise >= 2 halo seams (VERDICT round-1 item 6).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from vnlb_tpu.config import default_config
+from vnlb_tpu.parallel.halo import denoise_halo, proc_nl_halo
+from vnlb_tpu.parallel.tiled import make_mesh
+from vnlb_tpu.pipeline import proc_nl
+from vnlb_tpu.testing.data import add_noise, synthetic_video
+
+
+@pytest.fixture(scope="module")
+def clip():
+    # H=56 splits into 4 strips of 14 rows (halo=13 for the iphone preset):
+    # 3 interior seams, every strip narrower than the halo'd window.
+    clean = synthetic_video(3, 56, 56, seed=5)
+    noisy = add_noise(clean, 20.0, seed=6)
+    zf = np.zeros((3, 2, 56, 56), np.float32)
+    return noisy, zf
+
+
+@pytest.mark.parametrize("ndev,stage", [(2, 0), (4, 0), (4, 1), (8, 0)])
+def test_halo_matches_single_device(clip, ndev, stage):
+    noisy, zf = clip
+    cfg = default_config(20.0, preset="iphone").stage(stage)
+    cfg = cfg.replace(border_mode="mask", bsize=32)
+    if ndev == 8:
+        # 8 strips of 7 rows < halo: must refuse loudly
+        mesh = make_mesh(8, axis="h")
+        with pytest.raises(ValueError, match="strip"):
+            proc_nl_halo(noisy, None, zf, zf, cfg, mesh)
+        return
+    mesh = make_mesh(ndev, axis="h")
+    cfg0 = default_config(20.0, preset="iphone").stage(0).replace(
+        border_mode="mask", bsize=32)
+    basic = None if stage == 0 else np.asarray(
+        proc_nl(noisy, None, None, zf, zf, cfg0))
+    got = np.asarray(proc_nl_halo(noisy, basic, zf, zf, cfg, mesh))
+    want = np.asarray(proc_nl(noisy, basic, None, zf, zf, cfg))
+    _assert_close(got, want)
+
+
+def _assert_close(got, want):
+    """Tiled == untiled up to near-tie top-K swaps: the tile-local box-sum
+    cumsums round differently from the full-frame ones, so candidates with
+    near-equal distances can swap at the K boundary.  Pin every pixel within
+    half a gray level and the mean error at fp-noise scale."""
+    np.testing.assert_array_less(np.abs(got - want).max(), 0.5)
+    assert np.abs(got - want).mean() < 0.02, np.abs(got - want).mean()
+
+
+def test_halo_two_pass(clip):
+    noisy, _ = clip
+    mesh = make_mesh(4, axis="h")
+    cfg = default_config(20.0, preset="iphone", border_mode=["mask", "mask"],
+                         bsize=[32, 32])
+    deno, basic = denoise_halo(noisy, 20.0, mesh=mesh, cfg=cfg)
+    assert np.asarray(deno).shape == noisy.shape
+    assert np.all(np.isfinite(np.asarray(deno)))
+    # sharded two-pass == single-device two-pass (mask border mode)
+    zf = np.zeros((noisy.shape[0], 2) + noisy.shape[2:], np.float32)
+    basic1 = proc_nl(noisy, None, None, zf, zf, cfg.stage(0))
+    deno1 = proc_nl(noisy, basic1, None, zf, zf, cfg.stage(1))
+    _assert_close(np.asarray(basic), np.asarray(basic1))
+    _assert_close(np.asarray(deno), np.asarray(deno1))
+
+
+def test_halo_memory_is_sharded(clip):
+    """Each device holds ~1/n of the video strips (the point of this mode)."""
+    noisy, zf = clip
+    mesh = make_mesh(4, axis="h")
+    cfg = default_config(20.0, preset="iphone").stage(0).replace(
+        border_mode="mask", bsize=32)
+    out = proc_nl_halo(noisy, None, zf, zf, cfg, mesh)
+    out.block_until_ready()
+    assert out.shape == noisy.shape

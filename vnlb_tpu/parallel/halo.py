@@ -1,0 +1,318 @@
+"""Halo-tiled spatial sharding: the video volume is SPLIT across the mesh.
+
+Site-DP sharding (parallel/tiled.py) replicates the whole video per chip —
+it scales FLOPs but not memory.  This module shards the frame volume over
+the H axis (SURVEY.md §5 long-context plan) so videos beyond one chip's HBM
+fit a slice:
+
+* each device holds one (T, C, H/n, W) strip of every image;
+* **halo exchange**: one `lax.ppermute` per direction ships the
+  ``halo = (w_s-1)//2 + ps - 1`` boundary rows (13 for the iphone preset)
+  from each neighbor, giving the local tile every row its sites' search
+  windows and patch gathers can touch;
+* needle-mode coarse pyramid levels are average-pooled per strip and
+  `all_gather`-ed — a coarse level is 4^level smaller than the video, so
+  replicating it costs <1/3 extra memory while keeping coarse distances
+  bit-identical to the single-device run (no coarse seam approximation);
+* sites are processed in their home strip (local coordinates); global
+  border handling is ``border_mode='mask'`` semantics with per-device
+  global bounds;
+* after the local fold, the ``halo``-row accumulation margins that spilled
+  past the strip are ppermute'd to their owning neighbor and added —
+  overlap-add over ICI — then weights normalize locally.
+
+Exactness: the sharded output equals the single-device
+``border_mode='mask'`` output up to near-tie top-K swaps — the tile-local
+box-sum cumsums round differently from full-frame ones, so candidates with
+near-equal distances can swap at the K boundary (pinned <0.5 gray levels
+max / fp-noise mean by tests/test_halo.py on a multi-device CPU mesh);
+needle-mode coarse distances use the gathered full coarse frames, adding
+no extra seam approximation.
+
+Zero-flow only (the dense shared-candidate search); flow-aware sharding
+would need flow-dependent halos.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import StageConfig, VnlbConfig, default_config
+from ..ops import agg, color
+from ..ops.mask import lattice_sites
+from ..ops.search import _avg_pool2, eff_dt_range
+from ..ops.search_dense import _level_dense, _site_rows
+from ..pipeline import accumulate
+
+
+def _halo_rows(cfg: StageConfig) -> int:
+    return (cfg.w_s - 1) // 2 + cfg.ps - 1
+
+
+def _exchange_halos(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """(..., Hs, W) strip -> (..., Hs + 2*halo, W) local tile.
+
+    Edge devices receive zeros (outside the global frame; masked OOB)."""
+    n = lax.axis_size(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]     # my bottom rows -> below
+    up = [(i, i - 1) for i in range(1, n)]        # my top rows -> above
+    top_halo = lax.ppermute(x[..., -halo:, :], axis_name, down)
+    bot_halo = lax.ppermute(x[..., :halo, :], axis_name, up)
+    return jnp.concatenate([top_halo, x, bot_halo], axis=-2)
+
+
+def _fold_margins(img: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Overlap-add the halo margins of a folded local tile to the owning
+    neighbor strips: (..., Hs + 2*halo, W) -> (..., Hs, W)."""
+    n = lax.axis_size(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i, i - 1) for i in range(1, n)]
+    # my top margin belongs to the neighbor above; theirs lands at the
+    # BOTTOM of my strip (and vice versa)
+    from_below = lax.ppermute(img[..., :halo, :], axis_name, up)
+    from_above = lax.ppermute(img[..., -halo:, :], axis_name, down)
+    core = img[..., halo:-halo, :]
+    core = core.at[..., -halo:, :].add(from_below)
+    core = core.at[..., :halo, :].add(from_above)
+    return core
+
+
+def _search_dense_halo(tile, coarse_videos, sites_local, sites_global_y,
+                       cfg: StageConfig, y_lo, y_hi):
+    """Dense zero-flow top-K search on a halo'd strip tile.
+
+    tile: (T, C, Hs + 2*halo, W) local video tile (YUV).
+    coarse_videos: tuple of FULL-frame coarse pyramid levels (needle mode).
+    sites_local: (S, 3) sites in tile coordinates.
+    sites_global_y: (S,) global y of each site (for coarse-level anchors
+      and OOB masking).
+    y_lo / y_hi: traced scalars — valid GLOBAL candidate-corner y range
+      expressed in TILE coordinates (for the +inf OOB mask).
+
+    Returns (vals, inds) with inds in TILE flat coordinates
+    (t*(C*Ht*W) + y_tile*W + x) — the downstream gathers and scatters all
+    run in tile space.
+    """
+    t_len, c_full, ht, w = tile.shape
+    k = cfg.npatches
+    ps, pt, w_s = cfg.ps, cfg.pt, cfg.w_s
+    half = (w_s - 1) // 2
+    s_cnt = sites_local.shape[0]
+    norm = float(cfg.pt * cfg.dist_chnls * cfg.ps * cfg.ps) * 255.0 ** 2
+
+    videos = [tile] + list(coarse_videos)
+    per_dt_fns = [_level_dense(v, cfg) for v in videos]
+
+    ts = sites_local[:, 0]
+    ys = sites_local[:, 1]
+    xs = sites_local[:, 2]
+    chw = c_full * ht * w
+
+    dt_lo, dt_hi = eff_dt_range(cfg, t_len)
+
+    # OOB mask (global bounds in tile coordinates for y, static for x)
+    dgrid = jnp.arange(w_s, dtype=jnp.int32)
+    cy_all = ys[:, None, None] - half + dgrid[None, :, None]
+    cx_all = xs[:, None, None] - half + dgrid[None, None, :]
+    oob = ((cy_all < y_lo) | (cy_all > y_hi)
+           | (cx_all < 0) | (cx_all > w - ps))
+    oob = oob.reshape(s_cnt, w_s * w_s)
+
+    all_vals = []
+    for dt in range(dt_lo, dt_hi + 1):
+        cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
+        for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns)):
+            d_all = fn(dt)                                  # (ws2, F, H', W')
+            lh, lw = v.shape[2], v.shape[3]
+            hp, wp = lh - ps + 1, lw - ps + 1
+            if lvl == 0:
+                rows = _site_rows(sites_local, 1, hp, wp, lh, lw, ps, half)
+            else:
+                # coarse levels are FULL frames: anchor at the global site
+                sites_g = jnp.stack(
+                    [ts, sites_global_y, xs], axis=1)
+                rows = _site_rows(sites_g, 1 << lvl, hp, wp, lh, lw, ps,
+                                  half)
+            flat = jnp.transpose(d_all, (1, 2, 3, 0)).reshape(-1, w_s * w_s)
+            cand = cand + jnp.take(flat, rows, axis=0) / norm
+
+        f = ts + dt
+        valid = (f >= 0) & (f <= t_len - pt)
+        cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
+        cand = jnp.where(oob, jnp.inf, cand)
+        all_vals.append(cand)
+
+    mv = jnp.concatenate(all_vals, axis=1)
+    neg, sel = lax.top_k(-mv, k)
+    vals = -neg
+
+    dt_i = sel // (w_s * w_s) + dt_lo
+    rem = sel % (w_s * w_s)
+    fcl = jnp.clip(ts[:, None] + dt_i, 0, t_len - pt)
+    y = ys[:, None] - half + rem // w_s
+    x = xs[:, None] - half + rem % w_s
+    inds = fcl * chw + y * w + x
+    inds = jnp.where(jnp.isinf(vals), -1, inds.astype(jnp.int32))
+    from ..ops.search import _apply_tau
+
+    return vals, _apply_tau(vals, inds, cfg)
+
+
+def _plan_strip_sites(shape, cfg: StageConfig, n_dev: int, halo: int):
+    """Host-side: lattice sites partitioned by home strip, tile-local
+    coordinates, padded to a common (NB, B) shape.
+
+    Returns (site_batches (n, NB, B, 3), valid (n, NB, B),
+             global_y (n, NB, B))."""
+    t_len, c, h, w = shape
+    hs = h // n_dev
+    sites = lattice_sites(shape, cfg)
+    bsize = cfg.bsize
+
+    per_dev = []
+    for i in range(n_dev):
+        r0 = i * hs
+        sel = (sites[:, 1] >= r0) & (sites[:, 1] < r0 + hs)
+        s = sites[sel].copy()
+        gy = s[:, 1].copy()
+        s[:, 1] = s[:, 1] - r0 + halo                       # tile coords
+        per_dev.append((s, gy))
+
+    nb = max(1, max(-(-d[0].shape[0] // bsize) for d in per_dev))
+    sb = np.zeros((n_dev, nb, bsize, 3), np.int32)
+    vb = np.zeros((n_dev, nb, bsize), bool)
+    gy = np.zeros((n_dev, nb, bsize), np.int32)
+    for i, (s, g) in enumerate(per_dev):
+        cnt = s.shape[0]
+        pad = nb * bsize - cnt
+        filler = s[:1] if cnt else np.array([[0, halo, 0]], np.int32)
+        gfill = g[:1] if cnt else np.array([halo], np.int32)
+        s = np.concatenate([s, np.tile(filler, (pad, 1))])
+        g = np.concatenate([g, np.tile(gfill, pad)])
+        sb[i] = s.reshape(nb, bsize, 3)
+        gy[i] = g.reshape(nb, bsize)
+        vb[i] = (np.arange(nb * bsize) < cnt).reshape(nb, bsize)
+    return sb, vb, gy
+
+
+def _coarse_full_levels(strip, halo_cfg: StageConfig, axis_name: str):
+    """Needle coarse pyramid: pool the strip, all_gather to full frames."""
+    cfg = halo_cfg
+    if cfg.stype != "needle":
+        return ()
+    r = cfg.w_s + cfg.ps - 1
+    levels = []
+    cur_strip = strip
+    for _ in range(1, cfg.needle_scales):
+        pooled = _avg_pool2(cur_strip)                      # (T, C, Hs/2^l, W/2^l)
+        full = lax.all_gather(pooled, axis_name, axis=2, tiled=True)
+        if full.shape[2] < r or full.shape[3] < r:
+            break
+        levels.append(full)
+        cur_strip = pooled
+    return tuple(levels)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "shape", "mesh", "n_dev"))
+def _proc_nl_halo_jit(noisy, basic, site_batches, valid_batches, gy_batches,
+                      cfg: StageConfig, shape, mesh: Mesh, n_dev: int):
+    t_len, c, h, w = shape
+    hs = h // n_dev
+    halo = _halo_rows(cfg)
+    cfgm = cfg.replace(border_mode="mask")
+
+    noisy_yuv = color.rgb2yuv(noisy)
+    basic_yuv = color.rgb2yuv(basic)
+
+    def shard_fn(n_strip, b_strip, sb, vb, gyb):
+        ax = "h"
+        sb, vb, gyb = sb[0], vb[0], gyb[0]     # drop the size-1 device axis
+        idx = lax.axis_index(ax)
+        n_tile = _exchange_halos(n_strip, halo, ax)
+        b_tile = _exchange_halos(b_strip, halo, ax)
+        srch_tile = b_tile if cfg.srch_img == "basic" else n_tile
+        srch_strip = b_strip if cfg.srch_img == "basic" else n_strip
+        tile_shape = (t_len, c, hs + 2 * halo, w)
+
+        coarse = _coarse_full_levels(srch_strip, cfgm, ax)
+
+        # valid GLOBAL candidate rows, in tile coordinates: global row g is
+        # tile row g - (idx*hs - halo); valid g in [0, H - ps]
+        y_lo = jnp.int32(0) - (idx * hs - halo)
+        y_hi = jnp.int32(h - cfg.ps) - (idx * hs - halo)
+
+        def dense_fn(srch, dense_sites):
+            s_flat = dense_sites.reshape(-1, 3)
+            gy_flat = gyb.reshape(-1)
+            return _search_dense_halo(srch, coarse, s_flat, gy_flat, cfgm,
+                                      y_lo, y_hi)
+
+        deno_img, wts_img = accumulate(
+            n_tile, b_tile, srch_tile, None, None, sb, vb, cfgm, tile_shape,
+            axis_name=ax, n_dense_batches=sb.shape[0], dense_search_fn=dense_fn)
+
+        deno_img = _fold_margins(deno_img, halo, ax)
+        wts_img = _fold_margins(wts_img[:, None], halo, ax)[:, 0]
+
+        fallback = (b_strip if cfg.step == 1 else n_strip)
+        fb_yuv = fallback
+        out = agg.finalize_img(deno_img, wts_img, fb_yuv)
+        return out
+
+    out_yuv = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, None, "h", None), P(None, None, "h", None),
+                  P("h"), P("h"), P("h")),
+        out_specs=P(None, None, "h", None),
+    )(noisy_yuv, basic_yuv, site_batches, valid_batches, gy_batches)
+    return color.yuv2rgb(out_yuv)
+
+
+def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh
+                 ) -> jnp.ndarray:
+    """One VNLB pass with the video sharded over H (halo exchange)."""
+    from ..utils.index import check_codec_range
+
+    noisy = jnp.asarray(noisy, jnp.float32)
+    shape = tuple(int(s) for s in noisy.shape)
+    check_codec_range(shape)
+    basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
+    assert not np.any(np.asarray(fflow)) and not np.any(np.asarray(bflow)), \
+        "halo-sharded mode supports zero flow only (dense search)"
+
+    n_dev = mesh.devices.size
+    t_len, c, h, w = shape
+    halo = _halo_rows(cfg)
+    hs = h // n_dev
+    if h % n_dev or hs < halo or hs % 2:
+        raise ValueError(
+            f"H={h} must split into {n_dev} even strips of >= {halo} rows "
+            f"for halo sharding (got strip {hs})")
+
+    sb, vb, gy = _plan_strip_sites(shape, cfg, n_dev, halo)
+    return _proc_nl_halo_jit(noisy, basic, jnp.asarray(sb), jnp.asarray(vb),
+                             jnp.asarray(gy), cfg, shape, mesh, n_dev)
+
+
+def denoise_halo(noisy, sigma: float, mesh: Optional[Mesh] = None,
+                 preset: str = "iphone",
+                 cfg: Optional[VnlbConfig] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass VNLB with the frame volume sharded across the mesh."""
+    from .tiled import make_mesh
+
+    mesh = mesh or make_mesh(axis="h")
+    cfg = cfg or default_config(sigma, preset=preset)
+    t_len, _, h, w = noisy.shape
+    zf = np.zeros((t_len, 2, h, w), np.float32)
+    basic = proc_nl_halo(noisy, None, zf, zf, cfg.stage(0), mesh)
+    deno = proc_nl_halo(noisy, basic, zf, zf, cfg.stage(1), mesh)
+    return deno, basic

@@ -28,14 +28,15 @@ from .ops.mask import batched_sites
 
 
 def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
-                    shape, n_dense_batches: int = 0):
+                    shape, n_dense_batches: int = 0, dense_search_fn=None):
     """Phase 1: the search for every site batch -> inds (NB, B, K).
 
     The first ``n_dense_batches`` batches hold interior sites and are
     searched with the dense zero-flow path (ops/search_dense) in ONE call —
     candidate distances are shared across the whole frame.  Remaining
     (border / flow-driven) batches use the per-site gather path under a
-    scan.
+    scan.  ``dense_search_fn(srch, sites) -> (vals, inds)`` overrides the
+    dense search (the halo-sharded path injects its tile-local variant).
     """
     from .ops.search_dense import exec_search_dense
 
@@ -43,7 +44,10 @@ def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
     parts = []
     if n_dense_batches:
         dense_sites = site_batches[:n_dense_batches].reshape(-1, 3)
-        _, inds_d = exec_search_dense(srch_yuv, dense_sites, cfg)
+        if dense_search_fn is None:
+            _, inds_d = exec_search_dense(srch_yuv, dense_sites, cfg)
+        else:
+            _, inds_d = dense_search_fn(srch_yuv, dense_sites)
         parts.append(inds_d.reshape(n_dense_batches, bsz, -1))
     if n_dense_batches < nb:
         ctx = search.build_search_ctx(srch_yuv, cfg)
@@ -60,7 +64,7 @@ def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
 
 def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                valid_batches, cfg: StageConfig, shape, axis_name=None,
-               n_dense_batches: int = 0):
+               n_dense_batches: int = 0, dense_search_fn=None):
     """Scan all site batches; returns image-space (deno (T,C,H,W),
     weights (T,H,W)) accumulators (un-normalized).
 
@@ -79,7 +83,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     d = c * cfg.ps * cfg.ps
 
     inds_batches = precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg,
-                                   shape, n_dense_batches)
+                                   shape, n_dense_batches, dense_search_fn)
 
     cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
     cols_noisy, _ = gather.cols_rows(
