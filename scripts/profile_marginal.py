@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Marginal in-jit phase costs: time jitted pipeline PREFIXES and difference.
+
+profile_phases.py times each phase as a standalone jitted call, which on a
+tunneled TPU is dominated by ~25 ms/dispatch — useless for in-scan phases.
+Here each prefix (search | +gather | +bayes | full) runs inside ONE jit, so
+the differences are the true marginal in-context costs (including fusion).
+"""
+
+import _bootstrap  # noqa: F401
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vnlb_tpu.config import default_config
+from vnlb_tpu.ops import agg, bayes, color, flat, gather
+from vnlb_tpu.pipeline import plan_sites, precompute_inds
+from vnlb_tpu.testing.data import add_noise, synthetic_video
+
+
+def timeit(fn, *args, n=3):
+    # a scalar FETCH (not just block_until_ready) is required to force
+    # execution on the tunneled axon platform (see bench.py)
+    out = float(fn(*args))
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def make_prefix(cfg, shape, n_dense, upto: str):
+    t_len, c, h, w = shape
+    hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
+    d = c * cfg.ps * cfg.ps
+
+    def fn(noisy, sb, vb, zf):
+        yuv = color.rgb2yuv(noisy)
+        inds_b = precompute_inds(yuv, zf, zf, sb, cfg, shape, n_dense)
+        if upto == "search":
+            return jnp.sum(inds_b)
+        cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
+        cols, _ = gather.cols_rows(gather.im2col(yuv, cfg.ps).astype(cdty))
+        acc0 = jnp.zeros((t_len * hp * wp, cfg.pt * d + 1), jnp.float32)
+
+        def body(acc, xs):
+            valid, inds = xs
+            rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
+            pn = gather.fill_patches_cols(cols, rows, cfg.pt, cfg.ps, c)
+            if upto == "gather":
+                return acc, jnp.sum(pn)
+            if cfg.step == 1:
+                flags = (flat.flat_areas(pn, cfg.gamma, cfg.sigma2)
+                         if cfg.flat_areas else
+                         jnp.zeros((valid.shape[0],), bool))
+                pf, _ = bayes.bayes_denoise(pn, pn, flags, cfg)
+            else:
+                pf, _ = bayes.bayes_denoise(pn, None, None, cfg)
+            if upto == "bayes":
+                return acc, jnp.sum(pf)
+            vk = valid[:, None] & (inds >= 0)
+            return agg.agg_rows(acc, pf, rows[:, :, 0], vk), None
+
+        acc, ys = jax.lax.scan(body, acc0, (vb, inds_b))
+        if upto in ("gather", "bayes"):
+            return jnp.sum(ys)
+        deno, wts = agg.fold(acc, cfg.pt, cfg.ps, shape)
+        return jnp.sum(deno) + jnp.sum(wts)
+
+    return jax.jit(fn)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=5)
+    ap.add_argument("--h", type=int, default=240)
+    ap.add_argument("--w", type=int, default=426)
+    ap.add_argument("--sigma", type=float, default=20.0)
+    ap.add_argument("--step_s", type=int, default=3)
+    ap.add_argument("--eig", default="poly")
+    ap.add_argument("--preset", default="iphone")
+    ap.add_argument("--border", default="mask")
+    ap.add_argument("--steps", default="0,1")
+    args = ap.parse_args()
+
+    t, h, w = args.t, args.h, args.w
+    clean = synthetic_video(t, h, w, seed=0)
+    noisy = jnp.asarray(add_noise(clean, args.sigma, seed=1))
+    shape = (t, 3, h, w)
+    zf = jnp.zeros((t, 2, h, w), jnp.float32)
+    vcfg = default_config(args.sigma, preset=args.preset,
+                         eig_method=args.eig, step_s=args.step_s,
+                         border_mode=args.border)
+
+    for step in [int(s) for s in args.steps.split(",")]:
+        cfg = vcfg.stage(step)
+        sb, vb, n_dense = plan_sites(shape, cfg, True)
+        sbj, vbj = jnp.asarray(sb), jnp.asarray(vb)
+        print(f"\n== step {step}: {sb.shape[0]} batches x {cfg.bsize} "
+              f"(n_dense={n_dense}, K={cfg.npatches}, pt={cfg.pt}, "
+              f"stype={cfg.stype}, eig={cfg.eig_method})", flush=True)
+
+        prev = 0.0
+        for upto in ("search", "gather", "bayes", "full"):
+            f = make_prefix(cfg, shape, n_dense, upto)
+            tt, _ = timeit(f, noisy, sbj, vbj, zf)
+            print(f"  upto {upto:7s}: {tt:7.3f} s  (marginal "
+                  f"{tt - prev:+7.3f} s)", flush=True)
+            prev = tt
+
+
+if __name__ == "__main__":
+    main()

@@ -105,12 +105,12 @@ def main():
         # phase 3c: scatter only
         hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
         d = 3 * cfg.ps * cfg.ps
-        acc0 = jnp.zeros((t * hp * wp, d + 1), jnp.float32)
+        acc0 = jnp.zeros((t * hp * wp, cfg.pt * d + 1), jnp.float32)
 
         def scan_scatter(acc, rows_all, vb_all, patch):
             def body(a, xs):
                 rows, valid = xs
-                return agg.agg_rows(a, patch, rows, valid), None
+                return agg.agg_rows(a, patch, rows[:, :, 0], valid), None
             a, _ = jax.lax.scan(body, acc, (rows_all, vb_all))
             return a
         vk = vbj[:, :, None] & (inds_b >= 0)

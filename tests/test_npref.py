@@ -124,8 +124,8 @@ def test_agg_matches_reference(rng):
     hp, wp = h - ps + 1, w - ps + 1
     d = c * ps * ps
     rows = gather.inds_to_rows(jnp.asarray(inds), shape, ps, pt)
-    acc0 = jnp.zeros((t_len * hp * wp, d + 1), jnp.float32)
-    acc = agg.agg_rows(acc0, jnp.asarray(patches), rows,
+    acc0 = jnp.zeros((t_len * hp * wp, pt * d + 1), jnp.float32)
+    acc = agg.agg_rows(acc0, jnp.asarray(patches), rows[:, :, 0],
                        jnp.asarray(valid & (inds >= 0)))
     deno2, wts2 = agg.fold(acc, pt, ps, shape)
     np.testing.assert_allclose(np.asarray(deno2), deno_ref, atol=1e-4)

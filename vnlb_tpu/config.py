@@ -110,6 +110,10 @@ class StageConfig:
                                     # iterations (transition width ~1.5^-n)
     poly_deg: int = 12              # poly path: Chebyshev degree of the
                                     # smooth Wiener factor
+    poly_bf16: bool = True          # poly path: store iteration matrices in
+                                    # bf16 between matmuls (the phase is
+                                    # HBM-bound; MXU multiplies are bf16 at
+                                    # default precision regardless)
 
     # -- derived --
     @property

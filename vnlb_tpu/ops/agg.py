@@ -86,25 +86,26 @@ def agg_rows(acc: jnp.ndarray, patches: jnp.ndarray,
              rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Accumulate patch rows.
 
-    acc:   (N, D+1) column-space accumulator — D = C*ps*ps patch lanes plus
-           ONE weight-count lane, so patch values and weights ride a single
-           scatter (TPU scatter cost is per ROW, ~flat in row width: fusing
-           the weight lane halves the scatter bill vs a separate (N,)
-           weight scatter).
+    acc:   (N, pt*D+1) column-space accumulator — pt*D patch lanes (the pt
+           temporal patch planes ride ONE row: plane j's lanes semantically
+           belong to row base + j*H'*W' and are shifted back at fold time)
+           plus ONE weight-count lane.  TPU scatter cost is per ROW, ~flat
+           in row width, so fusing the pt planes and the weight count into
+           a single row cuts the scatter bill pt+1 -fold vs per-plane rows
+           with a separate weight scatter.
     patches: (B, K, pt, C, ps, ps) filtered patches.
-    rows:  (B, K, pt) row indices (from gather.inds_to_rows).
+    rows:  (B, K) BASE row indices (plane 0 of gather.inds_to_rows).
     valid: (B,) or (B, K) bool.
     """
-    b, k, pt = rows.shape
-    d = acc.shape[1] - 1
+    b, k = rows.shape
+    ptd = acc.shape[1] - 1
     if valid.ndim == 1:
         valid = valid[:, None]
-    vmask = jnp.broadcast_to(valid[:, :, None], (b, k, pt))
-    vm = vmask[..., None].astype(patches.dtype)
+    vm = valid[:, :, None].astype(patches.dtype)
     upd = jnp.concatenate(
-        [patches.reshape(b, k, pt, d) * vm, vm], axis=-1)
+        [patches.reshape(b, k, ptd) * vm, vm], axis=-1)
     rows_flat = rows.reshape(-1)
-    return acc.at[rows_flat].add(upd.reshape(-1, d + 1), mode="drop")
+    return acc.at[rows_flat].add(upd.reshape(-1, ptd + 1), mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("pt", "ps", "shape"))
@@ -112,24 +113,27 @@ def fold(acc: jnp.ndarray, pt: int, ps: int, shape
          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fold the column-space accumulator back to image space.
 
-    acc (N, C*ps*ps + 1) with N = T*H'*W' (last lane = weight counts, see
-    agg_rows) -> deno (T, C, H, W), weights (T, H, W): every patch-pixel
-    offset is one dense shifted add.
+    acc (N, pt*C*ps*ps + 1) with N = T*H'*W' (lane block j = temporal patch
+    plane j, scattered at the plane-0 base row; last lane = weight counts,
+    see agg_rows) -> deno (T, C, H, W), weights (T, H, W): every
+    (plane, patch-pixel) offset is one dense shifted add.
     """
     t_len, c, h, w = shape
     hp, wp = h - ps + 1, w - ps + 1
-    wacc = acc[:, -1]
-    acc = acc[:, :-1]
-    a = acc.reshape(t_len, hp, wp, c, ps, ps)
-    a = jnp.transpose(a, (0, 3, 4, 5, 1, 2))            # (T, C, ps, ps, H', W')
-    wv = wacc.reshape(t_len, hp, wp)
+    d = c * ps * ps
+    wv = acc[:, -1].reshape(t_len, hp, wp)
 
     deno = jnp.zeros((t_len, c, h, w), acc.dtype)
-    weights = jnp.zeros((t_len, h, w), wacc.dtype)
-    for dy in range(ps):
-        for dx in range(ps):
-            deno = deno.at[:, :, dy:dy + hp, dx:dx + wp].add(a[:, :, dy, dx])
-            weights = weights.at[:, dy:dy + hp, dx:dx + wp].add(wv)
+    weights = jnp.zeros((t_len, h, w), wv.dtype)
+    for j in range(pt):
+        a = acc[:, j * d:(j + 1) * d].reshape(t_len, hp, wp, c, ps, ps)
+        a = jnp.transpose(a, (0, 3, 4, 5, 1, 2))        # (T, C, ps, ps, H', W')
+        tl = t_len - j
+        for dy in range(ps):
+            for dx in range(ps):
+                deno = deno.at[j:, :, dy:dy + hp, dx:dx + wp].add(
+                    a[:tl, :, dy, dx])
+                weights = weights.at[j:, dy:dy + hp, dx:dx + wp].add(wv[:tl])
     return deno, weights
 
 

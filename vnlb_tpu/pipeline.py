@@ -92,8 +92,8 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         gather.im2col(basic_yuv, cfg.ps).astype(cdty))[0]
         if cfg.step == 1 else None)
 
-    # D patch lanes + 1 fused weight-count lane (see agg.agg_rows)
-    acc0 = jnp.zeros((t_len * hp * wp, d + 1), jnp.float32)
+    # pt*D patch lanes + 1 fused weight-count lane (see agg.agg_rows)
+    acc0 = jnp.zeros((t_len * hp * wp, cfg.pt * d + 1), jnp.float32)
     if axis_name is not None:
         pcast = getattr(jax.lax, "pcast", None)
         if pcast is not None:
@@ -129,7 +129,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
             f_dec = jnp.clip(jnp.maximum(inds, 0) // (c * h * w),
                              0, t_len - cfg.pt)
             valid_k = valid_k & (f_dec == cfg.only_frame)
-        acc = agg.agg_rows(acc, pfilt, rows, valid_k)
+        acc = agg.agg_rows(acc, pfilt, rows[:, :, 0], valid_k)
         return acc, None
 
     acc, _ = jax.lax.scan(body, acc0, (valid_batches, inds_batches))
