@@ -85,6 +85,7 @@ def main():
     ap.add_argument("--preset", default="iphone")
     ap.add_argument("--border", default="mask")
     ap.add_argument("--steps", default="0,1")
+    ap.add_argument("--bsize", type=int, default=0)
     args = ap.parse_args()
 
     t, h, w = args.t, args.h, args.w
@@ -98,6 +99,8 @@ def main():
 
     for step in [int(s) for s in args.steps.split(",")]:
         cfg = vcfg.stage(step)
+        if args.bsize:
+            cfg = cfg.replace(bsize=args.bsize)
         sb, vb, n_dense = plan_sites(shape, cfg, True)
         sbj, vbj = jnp.asarray(sb), jnp.asarray(vb)
         print(f"\n== step {step}: {sb.shape[0]} batches x {cfg.bsize} "

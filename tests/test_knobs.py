@@ -80,3 +80,26 @@ def test_couple_channels_joint_prior():
     # both denoise
     assert compute_psnr(out_cc, clean) > compute_psnr(noisy, clean) + 2.0
     assert compute_psnr(out_sep, clean) > compute_psnr(noisy, clean) + 2.0
+
+
+def test_agg_k_thins_aggregation():
+    """agg_k aggregates only the closest patches; agg_k >= K is a no-op.
+
+    Quality frontier (why the presets default agg_k=32): see config.py
+    default_config and docs/COMPARE.md.
+    """
+    clean, noisy, zf = _clip()
+    cfg_all = default_config(20.0, preset="iphone", agg_k=[0, 0]).stage(0)
+    cfg_k = cfg_all.replace(agg_k=16)
+    cfg_noop = cfg_all.replace(agg_k=cfg_all.npatches)
+
+    out_all = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg_all))
+    out_k = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg_k))
+    out_noop = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg_noop))
+
+    np.testing.assert_array_equal(out_all, out_noop)
+    assert np.abs(out_all - out_k).max() > 1e-3   # thinning changes output
+    # and does not hurt quality (measured: it helps)
+    p_all = compute_psnr(out_all, clean)
+    p_k = compute_psnr(out_k, clean)
+    assert p_k > p_all - 0.3, (p_all, p_k)

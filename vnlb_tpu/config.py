@@ -64,6 +64,12 @@ class StageConfig:
     ps: int = 7
     pt: int = 2
     npatches: int = 100
+    agg_k: int = 0                  # aggregate only the best agg_k of the K
+                                    # patches (0 = all K).  The Bayes prior
+                                    # still uses all K; this only thins the
+                                    # scatter (the pipeline's row-write
+                                    # bill is ~linear in it).  Quality
+                                    # frontier: docs/COMPARE.md
     w_s: int = 27
     nwt_f: int = 6
     nwt_b: int = 6
@@ -114,6 +120,11 @@ class StageConfig:
                                     # bf16 between matmuls (the phase is
                                     # HBM-bound; MXU multiplies are bf16 at
                                     # default precision regardless)
+    poly_impl: str = "xla"          # poly path backend: "xla" (ops/polyspec
+                                    # — XLA's batched matmuls pipeline the
+                                    # MXU across groups; measured FASTER
+                                    # than the fused kernel) | "pallas"
+                                    # (ops/pallas_poly, VMEM-resident)
 
     # -- derived --
     @property
@@ -177,9 +188,15 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     offset0 = 2.0 * (sigma / 255.0) ** 2
     base = dict(sigma=float(sigma))
 
+    # agg_k=32: aggregate only the 32 closest of the K patches.  Measured
+    # quality frontier (96x96 sigma=20 two-pass): 0 (all K) -> 29.23/29.16,
+    # 48 -> 29.38/29.23, 32 -> 29.40/29.25, 16 -> 29.38/29.24 dB — the
+    # farthest "similar" patches hurt the average, so thinning the scatter
+    # improves BOTH speed (~K/32 fewer scatter rows) and PSNR.  Set
+    # agg_k=0 for the reference's aggregate-all-K semantics.
     s0 = dict(base, step=0, sigma_basic=float(sigma), npatches=100, gamma=0.95,
               thresh=2.7, tau=0.0, flat_areas=False, offset=offset0,
-              srch_img="noisy", cpatches="noisy", dist_chnls=1)
+              srch_img="noisy", cpatches="noisy", dist_chnls=1, agg_k=32)
     # stage 1 poly knobs: the covariance source is the (nearly clean) basic
     # estimate, whose spectrum has a wide gap at tau — fewer sign iterations
     # and a lower Wiener degree hold the <=0.1 dB budget (test_polyspec)
@@ -191,7 +208,7 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     s1 = dict(base, step=1, sigma_basic=0.0, npatches=60, gamma=0.2,
               thresh=0.7, tau=0.0, flat_areas=True, offset=0.0,
               srch_img="basic", cpatches="basic", dist_chnls=3,
-              ns_iters=10, poly_deg=8)
+              ns_iters=10, poly_deg=8, agg_k=32)
 
     if preset in ("sss", "sss_v2", "iphone"):
         for s in (s0, s1):

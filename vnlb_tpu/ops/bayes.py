@@ -100,9 +100,14 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
 
     if cfg.eig_method in ("rational", "poly"):
         if cfg.eig_method == "poly":
-            from .polyspec import poly_filter
+            if cfg.poly_impl == "pallas":
+                from .pallas_poly import poly_filter_pallas
 
-            xf = poly_filter(xc2, xn2, cfg)
+                xf = poly_filter_pallas(xc2, xn2, k, cfg)
+            else:
+                from .polyspec import poly_filter
+
+                xf = poly_filter(xc2, xn2, cfg)
         else:
             from .spectral import rational_filter
 

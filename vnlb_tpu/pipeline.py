@@ -129,6 +129,13 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
             f_dec = jnp.clip(jnp.maximum(inds, 0) // (c * h * w),
                              0, t_len - cfg.pt)
             valid_k = valid_k & (f_dec == cfg.only_frame)
+        if cfg.agg_k and cfg.agg_k < cfg.npatches:
+            # thin the scatter to the best agg_k candidates (vals ascend, so
+            # the leading K' rows are the closest patches); the Bayes prior
+            # above still used all K
+            ka = cfg.agg_k
+            pfilt, valid_k = pfilt[:, :ka], valid_k[:, :ka]
+            rows = rows[:, :ka]
         acc = agg.agg_rows(acc, pfilt, rows[:, :, 0], valid_k)
         return acc, None
 
