@@ -63,6 +63,9 @@ def make_prefix(cfg, shape, n_dense, upto: str):
             if upto == "bayes":
                 return acc, jnp.sum(pf)
             vk = valid[:, None] & (inds >= 0)
+            if cfg.agg_k and cfg.agg_k < cfg.npatches:
+                ka = cfg.agg_k
+                pf, vk, rows = pf[:, :ka], vk[:, :ka], rows[:, :ka]
             return agg.agg_rows(acc, pf, rows[:, :, 0], vk), None
 
         acc, ys = jax.lax.scan(body, acc0, (vb, inds_b))
@@ -86,6 +89,7 @@ def main():
     ap.add_argument("--border", default="mask")
     ap.add_argument("--steps", default="0,1")
     ap.add_argument("--bsize", type=int, default=0)
+    ap.add_argument("--prefixes", default="search,gather,bayes,full")
     args = ap.parse_args()
 
     t, h, w = args.t, args.h, args.w
@@ -108,7 +112,7 @@ def main():
               f"stype={cfg.stype}, eig={cfg.eig_method})", flush=True)
 
         prev = 0.0
-        for upto in ("search", "gather", "bayes", "full"):
+        for upto in args.prefixes.split(","):
             f = make_prefix(cfg, shape, n_dense, upto)
             tt, _ = timeit(f, noisy, sbj, vbj, zf)
             print(f"  upto {upto:7s}: {tt:7.3f} s  (marginal "

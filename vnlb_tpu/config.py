@@ -120,6 +120,15 @@ class StageConfig:
                                     # bf16 between matmuls (the phase is
                                     # HBM-bound; MXU multiplies are bf16 at
                                     # default precision regardless)
+    poly_fused: bool = True         # K < p regime: evaluate the WHOLE
+                                    # gate x Wiener transfer as one
+                                    # Chebyshev series through the
+                                    # left-side recurrence (zero (p,p)@(p,p)
+                                    # matmuls) instead of sign-gate + factor
+    poly_deg_fused: int = 28        # degree of the fused series (measured
+                                    # on the 40x40 exact-eigh pin clip:
+                                    # 16/20/24/28 all within +0.03 dB of
+                                    # exact; presets run 16)
     poly_impl: str = "xla"          # poly path backend: "xla" (ops/polyspec
                                     # — XLA's batched matmuls pipeline the
                                     # MXU across groups; measured FASTER
@@ -214,7 +223,8 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     s1 = dict(base, step=1, sigma_basic=0.0, npatches=60, gamma=0.2,
               thresh=0.7, tau=0.0, flat_areas=True, offset=0.0,
               srch_img="basic", cpatches="basic", dist_chnls=3,
-              ns_iters=10, poly_deg=8, agg_k=32, cols_bf16=True)
+              ns_iters=10, poly_deg=8, poly_deg_fused=16, agg_k=32,
+              cols_bf16=True)
 
     if preset in ("sss", "sss_v2", "iphone"):
         for s in (s0, s1):
