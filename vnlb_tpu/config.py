@@ -120,6 +120,10 @@ class StageConfig:
                                     # bf16 between matmuls (the phase is
                                     # HBM-bound; MXU multiplies are bf16 at
                                     # default precision regardless)
+    poly_econ: bool = True          # evaluate the fused series with the
+                                    # T_s-substitution + Clenshaw scheme
+                                    # (~half the matmul ops; identical
+                                    # polynomial space) — both regimes
     poly_fused: bool = True         # K < p regime: evaluate the WHOLE
                                     # gate x Wiener transfer as one
                                     # Chebyshev series through the
@@ -211,7 +215,7 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     s0 = dict(base, step=0, sigma_basic=float(sigma), npatches=100, gamma=0.95,
               thresh=2.7, tau=0.0, flat_areas=False, offset=offset0,
               srch_img="noisy", cpatches="noisy", dist_chnls=1, agg_k=32,
-              ns_iters=10, poly_deg=8, cols_bf16=True)
+              ns_iters=10, poly_deg=8, poly_deg_fused=16, cols_bf16=True)
     # stage 1 poly knobs: the covariance source is the (nearly clean) basic
     # estimate, whose spectrum has a wide gap at tau — fewer sign iterations
     # and a lower Wiener degree hold the <=0.1 dB budget (test_polyspec)

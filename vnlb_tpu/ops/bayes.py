@@ -104,6 +104,10 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
                 from .pallas_poly import poly_filter_pallas
 
                 xf = poly_filter_pallas(xc2, xn2, k, cfg)
+            elif cfg.poly_econ:
+                from .polyspec import poly_filter_econ
+
+                xf = poly_filter_econ(xc2, xn2, cfg)
             elif cfg.poly_fused and k < xc2.shape[-1]:
                 from .polyspec import poly_filter_fused
 

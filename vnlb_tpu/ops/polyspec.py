@@ -244,3 +244,135 @@ def poly_filter_fused(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
         acc = acc + coef[:, j, None, None] * z_nxt
         z_prev, z_cur = z_cur, z_nxt
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Economized evaluation: T_s substitution + Clenshaw.
+#
+# The matmul-op COUNT is the wall for the filter phase (per-op cost on the
+# MXU is ~flat across (K,p)@(p,p) and (p,p)@(p,p) at p_pad=128 — weight
+# load dominates).  A degree-(m*s-1) polynomial is evaluated with
+# s-1 (+1) matmuls for the inner residues, 2-3 for B = T_s(Ah) via the
+# power identities, and m Clenshaw steps in B — ~8-10 ops instead of the
+# D=16 ops of the plain T_j recurrence (left regime), ~9-10 instead of
+# ~25 (matrix regime).
+#
+# Basis: phi_{i,r}(x) = T_i(T_s(x)) * T_r(x), i<m, r<s — leading degrees
+# i*s+r are all distinct, so the m*s functions span exactly the degree
+# <= m*s-1 polynomials: the least-squares projection at the shared
+# Chebyshev nodes is THE SAME polynomial as the plain Chebyshev series of
+# that degree (quality pins unchanged).  The projection matrix
+# pinv(Phi)^T is a fixed constant (group-independent); per-group
+# coefficients are one (G, nodes) @ (nodes, m*s) matmul, exactly like the
+# DCT projection of the plain path.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ps_split(deg: int):
+    """(m, s) with m*s >= deg+1, s ~ sqrt(deg)."""
+    import math
+    s = min(4, max(2, int(round(math.sqrt(deg + 1)))))
+    m = -(-(deg + 1) // s)
+    return m, s
+
+
+@functools.lru_cache(maxsize=None)
+def _ps_basis_pinv(m: int, s: int, nodes: int):
+    """(nodes, m*s) pseudo-inverse-transpose: node values -> gamma[i,r]."""
+    xs = np.cos(np.pi * (np.arange(nodes) + 0.5) / nodes)
+
+    def cheb_t(j, x):
+        return np.cos(j * np.arccos(np.clip(x, -1.0, 1.0)))
+
+    ts = cheb_t(s, xs)
+    phi = np.stack([cheb_t(i, ts) * cheb_t(r, xs)
+                    for i in range(m) for r in range(s)], axis=1)
+    return np.linalg.pinv(phi).T.astype(np.float32)      # (nodes, m*s)
+
+
+def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Economized single-polynomial spectral filter (both K<p and K>=p)."""
+    g, k, p = xc2.shape
+    s2, sb2 = cfg.sigma2, cfg.sigmab2
+    tau = cfg.thresh * s2 + sb2
+    m, s = _ps_split(cfg.poly_deg_fused)
+    deg = m * s - 1
+    nodes = max(64, 2 * (deg + 1))
+    sdty = jnp.bfloat16 if cfg.poly_bf16 else jnp.float32
+
+    def st(x):
+        return x.astype(sdty)
+
+    def lmm(a, b):                                       # (G,K,p) @ (G,p,p)
+        return jnp.einsum("gkp,gpq->gkq", st(a), st(b),
+                          preferred_element_type=jnp.float32)
+
+    def mmm(a, b):                                       # (G,p,p) @ (G,p,p)
+        return jnp.einsum("gij,gjk->gik", st(a), st(b),
+                          preferred_element_type=jnp.float32)
+
+    a_cov = jnp.einsum("gkp,gkq->gpq", xc2, xc2,
+                       precision=jax.lax.Precision.HIGH,
+                       preferred_element_type=jnp.float32) / k
+    eye = jnp.eye(p, dtype=a_cov.dtype)
+
+    tr = jnp.einsum("gii->g", a_cov)
+    rowsum = jnp.max(jnp.sum(jnp.abs(a_cov), axis=2), axis=1)
+    lub = jnp.maximum(jnp.minimum(tr, rowsum), 1.5 * tau) * 1.02
+
+    # per-group coefficients gamma (G, m, s) of the smoothed gate x Wiener
+    xs = jnp.asarray(_cheb_nodes(nodes))
+    lam_i = (xs[None, :] + 1.0) * 0.5 * lub[:, None]
+    wg = 1.2 * (np.pi / deg) * jnp.sqrt(tau * lub)
+    gate = jax.nn.sigmoid((lam_i - tau) / (wg[:, None] / 4.4))
+    lam_s = jnp.maximum(lam_i - sb2, 0.0)
+    fv = gate * lam_s / (lam_s + s2)
+    gam = (fv @ jnp.asarray(_ps_basis_pinv(m, s, nodes))).reshape(g, m, s)
+
+    ah = 2.0 * a_cov / lub[:, None, None] - eye
+
+    # T_r(Ah) as needed, and B = T_s(Ah) from the even power identities
+    a2 = mmm(ah, ah)
+    if s == 4:
+        a4 = mmm(a2, a2)
+        b_mat = 8.0 * a4 - 8.0 * a2 + eye                # T_4
+        t3 = mmm(4.0 * a2 - 3.0 * eye, ah)               # T_3 = (4x^2-3)x
+        t_mats = [None, ah, 2.0 * a2 - eye, t3]          # T_0..T_3
+    elif s == 3:
+        b_mat = mmm(4.0 * a2 - 3.0 * eye, ah)            # T_3
+        t_mats = [None, ah, 2.0 * a2 - eye]
+    elif s == 2:
+        b_mat = 2.0 * a2 - eye
+        t_mats = [None, ah]
+    else:
+        raise NotImplementedError(f"ps split s={s}")
+
+    if k < p:
+        # left regime: z_r = xn2 T_r(Ah) via the T recurrence, then
+        # row-space Clenshaw in B
+        zs = [xn2, lmm(xn2, ah)]
+        for _ in range(2, s):
+            zs.append(2.0 * lmm(zs[-1], ah) - zs[-2])
+        w_rows = [sum(gam[:, i, r, None, None] * zs[r] for r in range(s))
+                  for i in range(m)]
+        b_hi = jnp.zeros_like(xn2)
+        b_lo = jnp.zeros_like(xn2)
+        for i in range(m - 1, 0, -1):
+            b_new = w_rows[i] + 2.0 * lmm(b_hi, b_mat) - b_lo
+            b_lo, b_hi = b_hi, b_new
+        return w_rows[0] + lmm(b_hi, b_mat) - b_lo
+
+    # matrix regime: V_i = sum_r gamma T_r(Ah), matrix Clenshaw in B,
+    # then one application to xn2
+    def t_of(r):
+        return jnp.broadcast_to(eye, a_cov.shape) if r == 0 else t_mats[r]
+
+    v_mats = [sum(gam[:, i, r, None, None] * t_of(r) for r in range(s))
+              for i in range(m)]
+    b_hi = jnp.zeros_like(a_cov)
+    b_lo = jnp.zeros_like(a_cov)
+    for i in range(m - 1, 0, -1):
+        b_new = v_mats[i] + 2.0 * mmm(b_hi, b_mat) - b_lo
+        b_lo, b_hi = b_hi, b_new
+    f_mat = v_mats[0] + mmm(b_hi, b_mat) - b_lo
+    return lmm(xn2, f_mat)
