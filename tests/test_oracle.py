@@ -117,7 +117,10 @@ def test_end_to_end_parity(built):
     sigma = 20.0
     noisy = add_noise(clean, sigma, seed=6)
     zf = np.zeros((3, 2, 32, 32), np.float32)
-    cfg = default_config(sigma, preset="iphone").stage(0).replace(stype="l2")
+    # reference-exact numerics: the preset's speed knobs (agg_k thinning,
+    # bf16 patch columns) deliberately deviate from aggregate-all-K fp32
+    cfg = default_config(sigma, preset="iphone").stage(0).replace(
+        stype="l2", agg_k=0, cols_bf16=False)
 
     got = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
     want = orc.oracle_proc_nl(noisy, None, zf, zf, cfg)
