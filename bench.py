@@ -22,6 +22,9 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vnlb_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
