@@ -76,3 +76,20 @@ def test_interior_split_covers_all():
     if interior.size:
         assert interior[:, 1].min() >= half
         assert interior[:, 1].max() <= shape[2] - cfg.ps - half
+
+
+@pytest.mark.parametrize("step,stype", [(0, "needle"), (1, "l2")])
+def test_stream_topk_bit_equal(step, stype):
+    """topk='stream' (per-dt running merge) returns bit-identical (vals,
+    inds) to the one-shot top_k, including tie order."""
+    video, zf = _mk(11 + step)
+    shape = video.shape
+    cfg = default_config(20.0, preset="iphone").stage(step).replace(
+        stype=stype, border_mode="mask")
+    sites = jnp.asarray(lattice_sites(shape, cfg))
+
+    v1, i1 = exec_search_dense(jnp.asarray(video), sites, cfg)
+    v2, i2 = exec_search_dense(jnp.asarray(video), sites,
+                               cfg.replace(topk="stream"))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

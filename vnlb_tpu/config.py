@@ -95,7 +95,10 @@ class StageConfig:
     dist_chnls: int = 1             # channels entering the patch distance
     bsize: int = 256                # sites per lax.scan step (batch)
     needle_scales: int = 3          # pyramid levels for stype == "needle"
-    topk: str = "exact"             # "exact" | "approx" (dense path only)
+    topk: str = "exact"             # dense-path K selection: "exact"
+                                    # (one-shot) | "stream" (per-dt merge,
+                                    # bit-equal, ~14x less peak memory) |
+                                    # "approx" (lax.approx_max_k)
     border_mode: str = "slide"      # zero-flow border handling: "slide" =
                                     # the C++ sliding window (exact; border
                                     # sites take the slow per-site path) |

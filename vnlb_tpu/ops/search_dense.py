@@ -190,8 +190,8 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
                | (cx_all < 0) | (cx_all > w - ps))
         oob = oob.reshape(s_cnt, w_s * w_s)
 
-    all_vals = []
-    for dt in range(dt_lo, dt_hi + 1):
+    def plane(dt):
+        """Per-dt candidate distances (S, ws2), +inf-masked."""
         cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
         for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns)):
             d_all = fn(dt)                                  # (ws2, F, H', W')
@@ -207,23 +207,59 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
         cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
         if oob is not None:
             cand = jnp.where(oob, jnp.inf, cand)
-        all_vals.append(cand)
+        return cand
 
-    # one-shot top-K over the full candidate axis (enumeration dt, dy, dx —
-    # identical to the gather path, so ties break identically).  Candidate
-    # flat indices are DECODED from the selected positions instead of
-    # materializing an (S, n_dt*ws2) int32 array (saves ~2x 3.8 GB at 480p).
-    mv = jnp.concatenate(all_vals, axis=1)                  # (S, n_dt*ws2)
-    if cfg.topk == "approx":
-        # TPU-optimized approximate top-k (deterministic); slight recall
-        # loss swaps the rare boundary candidate for a near-equal one
-        neg, sel = lax.approx_max_k(-mv, k, recall_target=0.98)
+    ws2 = w_s * w_s
+    if cfg.topk == "stream" and ws2 >= k:
+        # STREAMING per-dt merge (the in-kernel top-K analog of SURVEY
+        # §2.2 N1): a running (S, K) top-K merges with each dt plane, so
+        # the peak candidate buffer is O(S*(K+ws2)) instead of
+        # O(S*n_dt*ws2) (~14x smaller at the iphone preset: ~0.5 GB vs
+        # ~7 GB at 480p stride 3).  Bit-equal to the one-shot top_k: for
+        # equal values top_k keeps the earliest position, and running
+        # entries (earlier dt, by induction) precede the new plane's
+        # enumeration-ordered candidates — exactly the one-shot tie order
+        # (pinned by tests/test_search_dense.py).
+        #
+        # MEASURED (v5e-1, 240p stride 3): 2-4.5x SLOWER than one-shot
+        # (21 dependent top_k calls vs one wide one), so this is the
+        # LOW-MEMORY mode for long/large clips where the one-shot
+        # candidate buffer would not fit HBM (e.g. the 1080p 100-frame
+        # scale-out target), not the speed default.
+        run_v = run_s = None
+        for di, dt in enumerate(range(dt_lo, dt_hi + 1)):
+            cand = plane(dt)
+            code = di * ws2 + jnp.arange(ws2, dtype=jnp.int32)
+            if run_v is None:
+                neg, sel_p = lax.top_k(-cand, k)
+                run_v, run_s = -neg, jnp.take(code, sel_p)
+            else:
+                mv = jnp.concatenate([run_v, cand], axis=1)
+                mc = jnp.concatenate(
+                    [run_s, jnp.broadcast_to(code, cand.shape)], axis=1)
+                neg, sel_p = lax.top_k(-mv, k)
+                run_v = -neg
+                run_s = jnp.take_along_axis(mc, sel_p, axis=1)
+        vals, sel = run_v, run_s
     else:
-        neg, sel = lax.top_k(-mv, k)
-    vals = -neg
+        all_vals = [plane(dt) for dt in range(dt_lo, dt_hi + 1)]
+        # one-shot top-K over the full candidate axis (enumeration dt, dy,
+        # dx — identical to the gather path, so ties break identically).
+        # Candidate flat indices are DECODED from the selected positions
+        # instead of materializing an (S, n_dt*ws2) int32 array (saves
+        # ~2x 3.8 GB at 480p).
+        mv = jnp.concatenate(all_vals, axis=1)              # (S, n_dt*ws2)
+        if cfg.topk == "approx":
+            # TPU-optimized approximate top-k (deterministic); slight
+            # recall loss swaps the rare boundary candidate for a
+            # near-equal one
+            neg, sel = lax.approx_max_k(-mv, k, recall_target=0.98)
+        else:
+            neg, sel = lax.top_k(-mv, k)
+        vals = -neg
 
-    dt_i = sel // (w_s * w_s) + dt_lo                       # (S, K)
-    rem = sel % (w_s * w_s)
+    dt_i = sel // ws2 + dt_lo                               # (S, K)
+    rem = sel % ws2
     fcl = jnp.clip(ts[:, None] + dt_i, 0, t_len - pt)
     y = ys[:, None] - half + rem // w_s
     x = xs[:, None] - half + rem % w_s
