@@ -1,0 +1,53 @@
+"""Temporal chunked streaming (api.denoise_streaming): interior-exact.
+
+With context = nwt + pt frames per side, every output frame of a chunk sees
+the same search candidates, patch groups and aggregation contributions as
+the monolithic run — the streamed result must match the full-video result
+up to scatter-order fp rounding.  This is the bounded-memory mode for the
+1080p/100-frame scale-out target (BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+
+from vnlb_tpu.api import denoise, denoise_streaming
+from vnlb_tpu.config import default_config
+from vnlb_tpu.testing.data import add_noise, synthetic_video
+from vnlb_tpu.utils.metrics import compute_psnr
+
+
+@pytest.fixture(scope="module")
+def clip():
+    clean = synthetic_video(9, 48, 48, seed=7)
+    noisy = add_noise(clean, 20.0, seed=8)
+    return clean, noisy
+
+
+def _small_cfg():
+    # small temporal window so ctx (= nwt + pt = 3) < chunk windows and the
+    # 9-frame clip actually splits into multiple context windows
+    return default_config(20.0, preset="iphone", nwt_f=[1, 1], nwt_b=[1, 1])
+
+
+def test_streaming_matches_monolithic(clip):
+    clean, noisy = clip
+    cfg = _small_cfg()
+    d_full, b_full, _ = denoise(noisy, 20.0, cfg=cfg)
+    d_s, b_s, _ = denoise_streaming(noisy, 20.0, chunk=3, cfg=cfg)
+
+    d_full, b_full = np.asarray(d_full), np.asarray(b_full)
+    assert d_s.shape == noisy.shape
+    # scatter order inside a chunk differs from the monolithic run (site
+    # batches restart per chunk), so pin closeness, not bit-equality
+    assert np.abs(b_s - b_full).max() < 0.5, np.abs(b_s - b_full).max()
+    assert np.abs(d_s - d_full).max() < 0.5, np.abs(d_s - d_full).max()
+    assert abs(compute_psnr(d_s, clean) - compute_psnr(d_full, clean)) < 0.05
+
+
+def test_streaming_single_chunk_degenerates(clip):
+    _, noisy = clip
+    cfg = _small_cfg()
+    d_s, b_s, _ = denoise_streaming(noisy, 20.0, chunk=100, cfg=cfg)
+    d_full, b_full, _ = denoise(noisy, 20.0, cfg=cfg)
+    np.testing.assert_array_equal(d_s, np.asarray(d_full))
+    np.testing.assert_array_equal(b_s, np.asarray(b_full))

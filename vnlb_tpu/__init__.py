@@ -9,13 +9,15 @@ Public API parity (reference lib/vnlb/__init__.py:14-16):
     denoise, denoise_mod, proc_nl, proc_nl_cache, proc_nn
 """
 
-from .api import denoise, denoise_mod, proc_nl_cache, proc_nn
+from .api import (denoise, denoise_mod, denoise_streaming,
+                  proc_nl_cache, proc_nn)
 from .config import StageConfig, VnlbConfig, default_config
 from .pipeline import proc_nl
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "denoise", "denoise_mod", "proc_nl", "proc_nl_cache", "proc_nn",
+    "denoise", "denoise_mod", "denoise_streaming", "proc_nl",
+    "proc_nl_cache", "proc_nn",
     "StageConfig", "VnlbConfig", "default_config",
 ]

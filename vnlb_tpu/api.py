@@ -75,6 +75,78 @@ def denoise(noisy, sigma: float, flows=None, clean=None,
     return deno, basic, clock.toc()
 
 
+def denoise_streaming(noisy, sigma: float, chunk: int = 12, flows=None,
+                      preset: str = "iphone",
+                      cfg: Optional[VnlbConfig] = None, mesh=None,
+                      verbose: bool = False
+                      ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Two-pass denoising of arbitrarily long videos in bounded memory.
+
+    The video is processed in temporal chunks of ``chunk`` output frames,
+    each padded with ``ctx = nwt + pt`` context frames per side — exactly
+    the temporal reach of the search window plus the patch extent, so every
+    site of an interior output frame sees the same candidates, patch groups
+    and aggregation contributions as a full-video run: interior chunks
+    match the monolithic result up to scatter-order fp rounding (pinned by
+    tests/test_streaming.py).  First/last chunks clamp at the sequence ends
+    like the monolithic run does.
+
+    Both passes run per chunk (the stage-2 search needs the context frames'
+    basic estimate, which is recomputed from the padded chunk).  Peak
+    device memory is that of a (chunk + 2*ctx)-frame clip regardless of the
+    video length — the column-space accumulator (~2.4 GB/frame at 1080p)
+    makes this the enabling mode for long/large clips; combine with
+    ``mesh=`` (halo spatial sharding, parallel/halo.py) to split each
+    chunk's strips across chips for the 1080p-class scale-out target
+    (BASELINE.md).
+
+    The reference reached for the same idea at the script level (its set
+    runner slices videos to <=85 frames, process_video_set.py:108-117);
+    here it is a first-class API with exact context accounting.
+
+    Returns (deno, basic, seconds) as host numpy arrays.
+    """
+    clock = Timer().tic()
+    noisy = np.asarray(noisy, np.float32)
+    t_len = noisy.shape[0]
+    cfg = cfg or default_config(sigma, preset=preset, verbose=verbose)
+    s0, s1 = cfg.stage(0), cfg.stage(1)
+    ctx = max(s0.nwt_b, s0.nwt_f, s1.nwt_b, s1.nwt_f) + max(s0.pt, s1.pt)
+    fflow, bflow = _prep_flows(noisy.shape, flows)
+    fflow, bflow = np.asarray(fflow), np.asarray(bflow)
+
+    if mesh is not None:
+        from .parallel.halo import proc_nl_halo
+
+        def run(nz, ff, bf):
+            b = proc_nl_halo(nz, None, ff, bf, s0, mesh)
+            return np.asarray(proc_nl_halo(nz, b, ff, bf, s1, mesh)), \
+                np.asarray(b)
+    else:
+        def run(nz, ff, bf):
+            b = proc_nl(nz, None, None, ff, bf, s0)
+            return np.asarray(proc_nl(nz, b, None, ff, bf, s1)), \
+                np.asarray(b)
+
+    deno = np.empty_like(noisy)
+    basic = np.empty_like(noisy)
+    win = min(t_len, chunk + 2 * ctx)
+    for start in range(0, t_len, chunk):
+        stop = min(start + chunk, t_len)
+        # fixed-size context window anchored to cover [start, stop): one
+        # compiled shape for every chunk (extra context is harmless — it
+        # only extends the exact-match region)
+        lo = max(0, min(start - ctx, t_len - win))
+        hi = lo + win
+        d, b = run(noisy[lo:hi], fflow[lo:hi], bflow[lo:hi])
+        deno[start:stop] = d[start - lo:stop - lo]
+        basic[start:stop] = b[start - lo:stop - lo]
+        if verbose:
+            print(f"[vnlb_tpu] streamed frames {start}:{stop} "
+                  f"(ctx {lo}:{hi})")
+    return deno, basic, clock.toc()
+
+
 def denoise_mod(noisy, sigma: float, flows=None, clean=None,
                 verbose: bool = False, gpuid: int = 0
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, float]:
