@@ -51,3 +51,22 @@ def test_streaming_single_chunk_degenerates(clip):
     d_full, b_full, _ = denoise(noisy, 20.0, cfg=cfg)
     np.testing.assert_array_equal(d_s, np.asarray(d_full))
     np.testing.assert_array_equal(b_s, np.asarray(b_full))
+
+
+def test_streaming_with_halo_mesh():
+    """Chunked streaming combined with halo spatial sharding (the 1080p-
+    class scale-out composition: time chunks x H strips x chips)."""
+    from vnlb_tpu.parallel.tiled import make_mesh
+
+    clean = synthetic_video(7, 56, 56, seed=9)
+    noisy = add_noise(clean, 20.0, seed=10)
+    cfg = default_config(20.0, preset="iphone", nwt_f=[1, 1], nwt_b=[1, 1],
+                         border_mode=["mask", "mask"], bsize=[32, 32])
+    mesh = make_mesh(2, axis="h")
+    d_s, b_s, _ = denoise_streaming(noisy, 20.0, chunk=3, cfg=cfg, mesh=mesh)
+    d_full, _, _ = denoise_streaming(noisy, 20.0, chunk=3, cfg=cfg)
+    assert d_s.shape == noisy.shape
+    assert np.all(np.isfinite(d_s))
+    # sharded+streamed tracks unsharded+streamed (near-tie top-K swaps at
+    # strip seams, see tests/test_halo.py)
+    assert np.abs(d_s - d_full).max() < 0.5, np.abs(d_s - d_full).max()
