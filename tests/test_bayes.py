@@ -59,7 +59,8 @@ def _mk_patches(rng, b=3, k=12, pt=2, c=3, ps=5):
 def test_bayes_step0_matches_numpy():
     rng = np.random.default_rng(3)
     pnoisy, _ = _mk_patches(rng)
-    cfg = default_config(5.0).stage(0).replace(ps=5, rank=20)
+    cfg = default_config(5.0).stage(0).replace(ps=5, rank=20,
+                                           eig_method="jacobi")
     got, rank_var = bayes_denoise(jnp.asarray(pnoisy), None, None, cfg)
     want = numpy_bayes(pnoisy, None, None, cfg)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-2)
@@ -70,7 +71,8 @@ def test_bayes_step0_matches_numpy():
 def test_bayes_step1_flat_centering_matches_numpy():
     rng = np.random.default_rng(4)
     pnoisy, pclean = _mk_patches(rng)
-    cfg = default_config(5.0).stage(1).replace(ps=5, rank=20)
+    cfg = default_config(5.0).stage(1).replace(ps=5, rank=20,
+                                           eig_method="jacobi")
     flat = np.array([True, False, True])
     got, _ = bayes_denoise(jnp.asarray(pnoisy), jnp.asarray(pclean),
                            jnp.asarray(flat), cfg)

@@ -99,7 +99,9 @@ def test_bayes_flat_parity(built):
     base = rng.normal(0, 30, (3, 1, 2, 3, 5, 5))
     pnoisy = (base + rng.normal(0, sigma, (3, 16, 2, 3, 5, 5))).astype(np.float32)
     pbasic = (base + rng.normal(0, 1, (3, 16, 2, 3, 5, 5))).astype(np.float32)
-    cfg = default_config(sigma).stage(1).replace(ps=5, rank=10)
+    # exact-eigh pin (the presets default to the poly production filter)
+    cfg = default_config(sigma).stage(1).replace(ps=5, rank=10,
+                                                 eig_method="jacobi")
 
     oflags = orc.oracle_flat(pnoisy, cfg.gamma, cfg.sigma2)
     jflags = np.asarray(flat_areas(jnp.asarray(pnoisy), cfg.gamma, cfg.sigma2))
@@ -118,9 +120,10 @@ def test_end_to_end_parity(built):
     noisy = add_noise(clean, sigma, seed=6)
     zf = np.zeros((3, 2, 32, 32), np.float32)
     # reference-exact numerics: the preset's speed knobs (agg_k thinning,
-    # bf16 patch columns) deliberately deviate from aggregate-all-K fp32
+    # bf16 patch columns, poly spectral filter) deliberately deviate from
+    # the aggregate-all-K fp32 exact-eigh semantics the oracle implements
     cfg = default_config(sigma, preset="iphone").stage(0).replace(
-        stype="l2", agg_k=0, cols_bf16=False)
+        stype="l2", agg_k=0, cols_bf16=False, eig_method="jacobi")
 
     got = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
     want = orc.oracle_proc_nl(noisy, None, zf, zf, cfg)

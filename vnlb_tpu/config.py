@@ -215,10 +215,14 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     # 40x40 pin clip: 10/8 -> +0.001/+0.036 dB vs exact, 8/6 ->
     # -0.15/-0.25 (too cheap); 96x96 two-pass PSNR flat across all of
     # them.  cols_bf16 halves gather/scatter column traffic at +0.002 dB.
+    # eig_method="poly": the production spectral filter (within the 0.1 dB
+    # exact-eigh budget, tests/test_polyspec) — exact modes ("jacobi",
+    # "xla") remain one replace() away for verification
     s0 = dict(base, step=0, sigma_basic=float(sigma), npatches=100, gamma=0.95,
               thresh=2.7, tau=0.0, flat_areas=False, offset=offset0,
               srch_img="noisy", cpatches="noisy", dist_chnls=1, agg_k=32,
-              ns_iters=10, poly_deg=8, poly_deg_fused=16, cols_bf16=True)
+              eig_method="poly", ns_iters=10, poly_deg=8, poly_deg_fused=16,
+              cols_bf16=True)
     # stage 1 poly knobs: the covariance source is the (nearly clean) basic
     # estimate, whose spectrum has a wide gap at tau — fewer sign iterations
     # and a lower Wiener degree hold the <=0.1 dB budget (test_polyspec)
@@ -230,8 +234,8 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     s1 = dict(base, step=1, sigma_basic=0.0, npatches=60, gamma=0.2,
               thresh=0.7, tau=0.0, flat_areas=True, offset=0.0,
               srch_img="basic", cpatches="basic", dist_chnls=3,
-              ns_iters=10, poly_deg=8, poly_deg_fused=16, agg_k=32,
-              cols_bf16=True)
+              eig_method="poly", ns_iters=10, poly_deg=8, poly_deg_fused=16,
+              agg_k=32, cols_bf16=True)
 
     if preset in ("sss", "sss_v2", "iphone"):
         for s in (s0, s1):
