@@ -81,3 +81,26 @@ def test_halo_memory_is_sharded(clip):
     out = proc_nl_halo(noisy, None, zf, zf, cfg, mesh)
     out.block_until_ready()
     assert out.shape == noisy.shape
+
+
+def test_halo_with_flow_matches_single_device(clip):
+    """Flow-aware halo: nonzero flows widen the halo and route through the
+    per-tile gather search with global-bound clamps (slide semantics) —
+    must track the single-device flow-aware run."""
+    noisy, _ = clip
+    t, _, h, w = noisy.shape
+    # smooth synthetic flow, |v| <= 1.2 -> margin = ceil(nwt * 1.2)
+    yy = np.linspace(0, 2 * np.pi, h, dtype=np.float32)
+    v = 1.2 * np.sin(yy)[None, None, :, None]
+    fflow = np.zeros((t, 2, h, w), np.float32)
+    bflow = np.zeros((t, 2, h, w), np.float32)
+    fflow[:, 1:] = v
+    bflow[:, 1:] = -v
+
+    # small temporal window keeps the flow margin (and compile) small
+    cfg = default_config(20.0, preset="iphone", nwt_f=[1, 1],
+                         nwt_b=[1, 1]).stage(0).replace(bsize=32)
+    mesh = make_mesh(2, axis="h")
+    got = np.asarray(proc_nl_halo(noisy, None, fflow, bflow, cfg, mesh))
+    want = np.asarray(proc_nl(noisy, None, None, fflow, bflow, cfg))
+    _assert_close(got, want)

@@ -62,7 +62,7 @@ def eff_dt_range(cfg, t_len: int):
 
 
 def track_centers(sites: jnp.ndarray, fflow: jnp.ndarray, bflow: jnp.ndarray,
-                  nwt_b: int, nwt_f: int, shape) -> jnp.ndarray:
+                  nwt_b: int, nwt_f: int, shape, y_bounds=None) -> jnp.ndarray:
     """Flow-tracked window centers.
 
     Returns int32 (B, n_dt, 2) = (cy, cx) for dt = -nwt_b .. +nwt_f (frame
@@ -70,15 +70,27 @@ def track_centers(sites: jnp.ndarray, fflow: jnp.ndarray, bflow: jnp.ndarray,
     clamped to the image; with zero flows every center equals the query pixel
     (matching the default ``denoise()`` path, reference impl.py:45 allocates
     zero flows).
+
+    ``y_bounds``: optional traced (y0, y1) — the FIRST and LAST valid image
+    rows in this array's coordinates.  Used by the halo-sharded mode, where
+    the array is a strip tile and the global frame bounds sit at
+    tile-coordinate offsets (parallel/halo.py); defaults to (0, H-1).
     """
     t_len, _, h, w = shape
+    y0, y1 = (0, h - 1) if y_bounds is None else y_bounds
+    y0f = jnp.float32(y0)
+    y1f = jnp.float32(y1)
     tq = sites[:, 0]
     cy0 = sites[:, 1].astype(jnp.float32)
     cx0 = sites[:, 2].astype(jnp.float32)
 
     def lookup(flow, f_idx, cy, cx):
         fi = jnp.clip(f_idx, 0, t_len - 1)
-        yi = jnp.clip(_round_half_up(cy), 0, h - 1).astype(jnp.int32)
+        # flow reads must stay inside the physical array AND the global
+        # frame (the two coincide except in halo tiles)
+        yi = jnp.clip(_round_half_up(cy),
+                      jnp.maximum(y0, 0),
+                      jnp.minimum(y1, h - 1)).astype(jnp.int32)
         xi = jnp.clip(_round_half_up(cx), 0, w - 1).astype(jnp.int32)
         u = flow[fi, 0, yi, xi]
         v = flow[fi, 1, yi, xi]
@@ -88,7 +100,7 @@ def track_centers(sites: jnp.ndarray, fflow: jnp.ndarray, bflow: jnp.ndarray,
     cy, cx = cy0, cx0
     for i in range(nwt_f):
         u, v = lookup(fflow, tq + i, cy, cx)
-        cy = jnp.clip(cy + v, 0.0, h - 1.0)
+        cy = jnp.clip(cy + v, y0f, y1f)
         cx = jnp.clip(cx + u, 0.0, w - 1.0)
         fwd.append((cy, cx))
 
@@ -96,7 +108,7 @@ def track_centers(sites: jnp.ndarray, fflow: jnp.ndarray, bflow: jnp.ndarray,
     cy, cx = cy0, cx0
     for i in range(nwt_b):
         u, v = lookup(bflow, tq - i, cy, cx)
-        cy = jnp.clip(cy + v, 0.0, h - 1.0)
+        cy = jnp.clip(cy + v, y0f, y1f)
         cx = jnp.clip(cx + u, 0.0, w - 1.0)
         bwd.append((cy, cx))
     bwd = bwd[::-1]
@@ -108,15 +120,22 @@ def track_centers(sites: jnp.ndarray, fflow: jnp.ndarray, bflow: jnp.ndarray,
     return _round_half_up(centers).astype(jnp.int32)
 
 
-def _window_starts(centers, w_s, ps, h, w):
+def _window_starts(centers, w_s, ps, h, w, y_bounds=None):
     """Sliding-window top-left corners, keeping all w_s candidates in-bounds.
 
     start = clip(center - (w_s-1)//2, 0, (H-ps) - (w_s-1)); if the image is
     smaller than the window the lower clip wins (candidates then clamp
-    per-coordinate, tiny-image degenerate case).
+    per-coordinate, tiny-image degenerate case).  ``y_bounds`` expresses
+    the GLOBAL frame rows in this array's coordinates (halo tiles).
     """
     half = (w_s - 1) // 2
-    sy = jnp.clip(centers[..., 0] - half, 0, max(h - ps - (w_s - 1), 0))
+    if y_bounds is None:
+        ylo, yhi = 0, max(h - ps - (w_s - 1), 0)
+    else:
+        y0, y1 = y_bounds
+        ylo = y0
+        yhi = jnp.maximum(y1 + 1 - ps - (w_s - 1), y0)
+    sy = jnp.clip(centers[..., 0] - half, ylo, yhi)
     sx = jnp.clip(centers[..., 1] - half, 0, max(w - ps - (w_s - 1), 0))
     return sy, sx
 
@@ -160,7 +179,8 @@ def _gather_query(video, sites, pt, c_d, ps):
     return jax.vmap(one)(sites)
 
 
-def _level_distances(video, xcols_flat, sites, centers, cfg: StageConfig):
+def _level_distances(video, xcols_flat, sites, centers, cfg: StageConfig,
+                     y_bounds=None):
     """Raw (un-normalized) squared distances for one pyramid level.
 
     video: (T, C, H, W); xcols_flat: x_im2col of video[:, :c_d] (or None to
@@ -180,7 +200,7 @@ def _level_distances(video, xcols_flat, sites, centers, cfg: StageConfig):
     dts = jnp.arange(dt_lo, dt_hi + 1, dtype=jnp.int32)
     f_idx = sites[:, 0:1] + dts[None, :]                      # (B, n_dt)
 
-    sy, sx = _window_starts(centers, w_s, ps, h, w)           # (B, n_dt)
+    sy, sx = _window_starts(centers, w_s, ps, h, w, y_bounds)  # (B, n_dt)
     vdist = video[:, :c_d]
     if xcols_flat is None:
         xcols_flat = x_im2col(vdist, r)
@@ -242,9 +262,10 @@ def build_search_ctx(video: jnp.ndarray, cfg: StageConfig):
     return tuple(videos), tuple(xcols)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "coarse_global"))
 def exec_search(video, sites: jnp.ndarray, fflow: jnp.ndarray,
-                bflow: jnp.ndarray, cfg: StageConfig, ctx=None
+                bflow: jnp.ndarray, cfg: StageConfig, ctx=None,
+                y_bounds=None, coarse_global: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-K similar patch search.
 
@@ -272,32 +293,57 @@ def exec_search(video, sites: jnp.ndarray, fflow: jnp.ndarray,
     videos, xcols = ctx
 
     centers = track_centers(sites, fflow, bflow, cfg.nwt_b, cfg.nwt_f,
-                            video.shape)
+                            video.shape, y_bounds)
     # keep only the statically-valid temporal offsets (see eff_dt_range)
     dt_lo, dt_hi = eff_dt_range(cfg, t_len)
     centers = centers[:, dt_lo + cfg.nwt_b:dt_hi + cfg.nwt_b + 1]
 
     d, (sy, sx), f_idx = _level_distances(videos[0], xcols[0], sites,
-                                          centers, cfg)
+                                          centers, cfg, y_bounds)
     norm = float(cfg.pt * cfg.dist_chnls * cfg.ps * cfg.ps) * 255.0 ** 2
 
     if cfg.stype == "needle":
         # Coarse-to-fine pyramid terms: equal weight per level, each level
         # normalized by its own patch energy scale.
         level_sites, level_centers = sites, centers
+        level_bounds = y_bounds
+        if coarse_global:
+            # halo-tile mode with FULL-FRAME coarse levels (the coarse
+            # window spans 2^lvl x the fine halo in fine pixels, so tiles
+            # cannot cover it; parallel/halo.py all_gathers the pooled
+            # strips instead): shift to GLOBAL row coordinates before the
+            # first halving — thereafter the full-frame static clamps apply
+            assert y_bounds is not None
+            shift = jnp.array([0, y_bounds[0], 0], jnp.int32)
+            level_sites = level_sites - shift[None, :]
+            level_centers = level_centers - jnp.array([y_bounds[0], 0],
+                                                      jnp.int32)
+            level_bounds = None
         nd = d / norm
         for lvl in range(1, len(videos)):
             lh, lw = videos[lvl].shape[2], videos[lvl].shape[3]
+            if level_bounds is not None:
+                # halo tiles pool with global-aligned parity (halo forced
+                # even, see parallel/halo.py), so bounds just halve; the
+                # coarse anchor/center clamps must use the GLOBAL coarse
+                # frame bounds, not the tile's larger array bounds
+                level_bounds = (level_bounds[0] // 2, level_bounds[1] // 2)
+                y_site_hi = level_bounds[1] + 1 - ps
+                y_ctr_hi = level_bounds[1]
+            else:
+                y_site_hi = lh - ps
+                y_ctr_hi = lh - 1
+            ls_y = jnp.clip(level_sites[:, 1:2] // 2, 0, y_site_hi)
+            ls_x = jnp.minimum(level_sites[:, 2:3] // 2, lw - ps)
             level_sites = jnp.concatenate(
-                [level_sites[:, :1],
-                 jnp.minimum(level_sites[:, 1:] // 2,
-                             jnp.array([[lh - ps, lw - ps]], jnp.int32))],
-                axis=1)
-            level_centers = jnp.minimum(
-                level_centers // 2,
-                jnp.array([lh - 1, lw - 1], jnp.int32))
+                [level_sites[:, :1], ls_y, ls_x], axis=1)
+            level_centers = jnp.concatenate(
+                [jnp.clip(level_centers[..., 0:1] // 2, 0, y_ctr_hi),
+                 jnp.minimum(level_centers[..., 1:2] // 2, lw - 1)],
+                axis=-1)
             d_lvl, _, _ = _level_distances(videos[lvl], xcols[lvl],
-                                           level_sites, level_centers, cfg)
+                                           level_sites, level_centers, cfg,
+                                           level_bounds)
             nd = nd + d_lvl / norm
         d_norm = nd - cfg.offset
     else:
@@ -312,7 +358,8 @@ def exec_search(video, sites: jnp.ndarray, fflow: jnp.ndarray,
     dy = jnp.arange(w_s, dtype=jnp.int32)
     cy = sy[:, :, None] + dy[None, None, :]                   # (B, n_dt, w_s)
     cx = sx[:, :, None] + dy[None, None, :]
-    cy = jnp.minimum(cy, h - ps)
+    y_hi_corner = (h - ps) if y_bounds is None else (y_bounds[1] + 1 - ps)
+    cy = jnp.minimum(cy, y_hi_corner)
     cx = jnp.minimum(cx, w - ps)
     fcl = jnp.clip(f_idx, 0, t_len - pt)
     chw = c_full * h * w

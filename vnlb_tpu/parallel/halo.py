@@ -7,9 +7,10 @@ fit a slice:
 
 * each device holds one (T, C, H/n, W) strip of every image;
 * **halo exchange**: one `lax.ppermute` per direction ships the
-  ``halo = (w_s-1)//2 + ps - 1`` boundary rows (13 for the iphone preset)
-  from each neighbor, giving the local tile every row its sites' search
-  windows and patch gathers can touch;
+  ``halo = (w_s-1)//2 + ps - 1 (+ flow margin, rounded even)`` boundary
+  rows (14 for the iphone preset at zero flow) from each neighbor, giving
+  the local tile every row its sites' search windows and patch gathers
+  can touch;
 * needle-mode coarse pyramid levels are average-pooled per strip and
   `all_gather`-ed — a coarse level is 4^level smaller than the video, so
   replicating it costs <1/3 extra memory while keeping coarse distances
@@ -29,8 +30,12 @@ max / fp-noise mean by tests/test_halo.py on a multi-device CPU mesh);
 needle-mode coarse distances use the gathered full coarse frames, adding
 no extra seam approximation.
 
-Zero-flow only (the dense shared-candidate search); flow-aware sharding
-would need flow-dependent halos.
+Nonzero optical flow is supported: the halo widens by the host-computed
+worst-case vertical window drift (nwt * max|flow_v|), flows ride the same
+halo exchange, and the flow-aware gather search runs per tile with the
+GLOBAL frame bounds threaded into its window/trajectory clamps
+(ops/search.py ``y_bounds``) — slide border semantics, matching the
+single-device gather path.
 """
 
 from __future__ import annotations
@@ -52,8 +57,16 @@ from ..ops.search_dense import _level_dense, _site_rows
 from ..pipeline import accumulate
 
 
-def _halo_rows(cfg: StageConfig) -> int:
-    return (cfg.w_s - 1) // 2 + cfg.ps - 1
+def _halo_rows(cfg: StageConfig, flow_margin: int = 0) -> int:
+    """Boundary rows each neighbor must ship.
+
+    base = window half-span + patch extent; ``flow_margin`` covers the
+    worst-case vertical drift of a flow-tracked window center
+    (<= nwt * max|flow_v|, computed on the host).  Rounded up to EVEN so
+    tile 2x-pooling (needle pyramid) stays parity-aligned with the global
+    frame."""
+    base = (cfg.w_s - 1) // 2 + cfg.ps - 1 + flow_margin
+    return base + (base % 2)
 
 
 def _exchange_halos(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
@@ -221,18 +234,19 @@ def _coarse_full_levels(strip, halo_cfg: StageConfig, axis_name: str):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "shape", "mesh", "n_dev"))
-def _proc_nl_halo_jit(noisy, basic, site_batches, valid_batches, gy_batches,
-                      cfg: StageConfig, shape, mesh: Mesh, n_dev: int):
+                   static_argnames=("cfg", "shape", "mesh", "n_dev", "halo",
+                                    "use_flow"))
+def _proc_nl_halo_jit(noisy, basic, fflow, bflow, site_batches,
+                      valid_batches, gy_batches, cfg: StageConfig, shape,
+                      mesh: Mesh, n_dev: int, halo: int, use_flow: bool):
     t_len, c, h, w = shape
     hs = h // n_dev
-    halo = _halo_rows(cfg)
     cfgm = cfg.replace(border_mode="mask")
 
     noisy_yuv = color.rgb2yuv(noisy)
     basic_yuv = color.rgb2yuv(basic)
 
-    def shard_fn(n_strip, b_strip, sb, vb, gyb):
+    def shard_fn(n_strip, b_strip, ff_strip, bf_strip, sb, vb, gyb):
         ax = "h"
         sb, vb, gyb = sb[0], vb[0], gyb[0]     # drop the size-1 device axis
         idx = lax.axis_index(ax)
@@ -242,22 +256,45 @@ def _proc_nl_halo_jit(noisy, basic, site_batches, valid_batches, gy_batches,
         srch_strip = b_strip if cfg.srch_img == "basic" else n_strip
         tile_shape = (t_len, c, hs + 2 * halo, w)
 
-        coarse = _coarse_full_levels(srch_strip, cfgm, ax)
-
         # valid GLOBAL candidate rows, in tile coordinates: global row g is
         # tile row g - (idx*hs - halo); valid g in [0, H - ps]
         y_lo = jnp.int32(0) - (idx * hs - halo)
         y_hi = jnp.int32(h - cfg.ps) - (idx * hs - halo)
 
-        def dense_fn(srch, dense_sites):
-            s_flat = dense_sites.reshape(-1, 3)
-            gy_flat = gyb.reshape(-1)
-            return _search_dense_halo(srch, coarse, s_flat, gy_flat, cfgm,
-                                      y_lo, y_hi)
+        if use_flow:
+            # flow-aware gather search on the tile: flows ride the same
+            # halo exchange; the GLOBAL frame bounds enter the window/
+            # trajectory clamps as tile-coordinate y_bounds (slide border
+            # semantics, identical to the single-device gather path).
+            # Needle coarse levels use all_gather'ed FULL frames in global
+            # coordinates (coarse windows span 2^lvl x the fine halo).
+            from ..ops.search import x_im2col
 
-        deno_img, wts_img = accumulate(
-            n_tile, b_tile, srch_tile, None, None, sb, vb, cfgm, tile_shape,
-            axis_name=ax, n_dense_batches=sb.shape[0], dense_search_fn=dense_fn)
+            ff_tile = _exchange_halos(ff_strip, halo, ax)
+            bf_tile = _exchange_halos(bf_strip, halo, ax)
+            y_img_hi = jnp.int32(h - 1) - (idx * hs - halo)
+            coarse = _coarse_full_levels(srch_strip, cfg, ax)
+            r = cfg.w_s + cfg.ps - 1
+            videos = (srch_tile,) + coarse
+            xcols = tuple(x_im2col(v[:, :cfg.dist_chnls], r) for v in videos)
+            deno_img, wts_img = accumulate(
+                n_tile, b_tile, srch_tile, ff_tile, bf_tile, sb, vb, cfg,
+                tile_shape, axis_name=ax, n_dense_batches=0,
+                y_bounds=(y_lo, y_img_hi), search_ctx=(videos, xcols),
+                coarse_global=cfg.stype == "needle")
+        else:
+            coarse = _coarse_full_levels(srch_strip, cfgm, ax)
+
+            def dense_fn(srch, dense_sites):
+                s_flat = dense_sites.reshape(-1, 3)
+                gy_flat = gyb.reshape(-1)
+                return _search_dense_halo(srch, coarse, s_flat, gy_flat,
+                                          cfgm, y_lo, y_hi)
+
+            deno_img, wts_img = accumulate(
+                n_tile, b_tile, srch_tile, None, None, sb, vb, cfgm,
+                tile_shape, axis_name=ax, n_dense_batches=sb.shape[0],
+                dense_search_fn=dense_fn)
 
         deno_img = _fold_margins(deno_img, halo, ax)
         wts_img = _fold_margins(wts_img[:, None], halo, ax)[:, 0]
@@ -270,49 +307,68 @@ def _proc_nl_halo_jit(noisy, basic, site_batches, valid_batches, gy_batches,
     out_yuv = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, None, "h", None), P(None, None, "h", None),
+                  P(None, None, "h", None), P(None, None, "h", None),
                   P("h"), P("h"), P("h")),
         out_specs=P(None, None, "h", None),
-    )(noisy_yuv, basic_yuv, site_batches, valid_batches, gy_batches)
+    )(noisy_yuv, basic_yuv, fflow, bflow, site_batches, valid_batches,
+      gy_batches)
     return color.yuv2rgb(out_yuv)
 
 
 def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh
                  ) -> jnp.ndarray:
-    """One VNLB pass with the video sharded over H (halo exchange)."""
+    """One VNLB pass with the video sharded over H (halo exchange).
+
+    Nonzero flows are supported: the halo widens by the worst-case vertical
+    window drift (nwt * max|flow_v|, host-computed) and the flow-aware
+    gather search runs per tile with global-bound clamps (slide border
+    semantics); zero flow takes the dense shared-candidate fast path with
+    masked borders.
+    """
     from ..utils.index import check_codec_range
 
     noisy = jnp.asarray(noisy, jnp.float32)
     shape = tuple(int(s) for s in noisy.shape)
     check_codec_range(shape)
     basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
-    assert not np.any(np.asarray(fflow)) and not np.any(np.asarray(bflow)), \
-        "halo-sharded mode supports zero flow only (dense search)"
+    fflow_np = np.asarray(fflow)
+    bflow_np = np.asarray(bflow)
+    use_flow = bool(np.any(fflow_np) or np.any(bflow_np))
 
     n_dev = mesh.devices.size
     t_len, c, h, w = shape
-    halo = _halo_rows(cfg)
+    margin = 0
+    if use_flow:
+        nwt = max(cfg.nwt_b, cfg.nwt_f)
+        mv = max(float(np.abs(fflow_np[:, 1]).max()),
+                 float(np.abs(bflow_np[:, 1]).max()))
+        margin = int(np.ceil(nwt * mv))
+    halo = _halo_rows(cfg, margin)
     hs = h // n_dev
     if h % n_dev or hs < halo or hs % 2:
         raise ValueError(
             f"H={h} must split into {n_dev} even strips of >= {halo} rows "
-            f"for halo sharding (got strip {hs})")
+            f"for halo sharding (got strip {hs}; halo includes flow margin "
+            f"{margin})")
 
     sb, vb, gy = _plan_strip_sites(shape, cfg, n_dev, halo)
-    return _proc_nl_halo_jit(noisy, basic, jnp.asarray(sb), jnp.asarray(vb),
-                             jnp.asarray(gy), cfg, shape, mesh, n_dev)
+    return _proc_nl_halo_jit(noisy, basic, jnp.asarray(fflow_np),
+                             jnp.asarray(bflow_np), jnp.asarray(sb),
+                             jnp.asarray(vb), jnp.asarray(gy), cfg, shape,
+                             mesh, n_dev, halo, use_flow)
 
 
 def denoise_halo(noisy, sigma: float, mesh: Optional[Mesh] = None,
-                 preset: str = "iphone",
+                 flows=None, preset: str = "iphone",
                  cfg: Optional[VnlbConfig] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass VNLB with the frame volume sharded across the mesh."""
+    from ..api import _prep_flows
     from .tiled import make_mesh
 
     mesh = mesh or make_mesh(axis="h")
     cfg = cfg or default_config(sigma, preset=preset)
-    t_len, _, h, w = noisy.shape
-    zf = np.zeros((t_len, 2, h, w), np.float32)
-    basic = proc_nl_halo(noisy, None, zf, zf, cfg.stage(0), mesh)
-    deno = proc_nl_halo(noisy, basic, zf, zf, cfg.stage(1), mesh)
+    fflow, bflow = _prep_flows(noisy.shape, flows)
+    basic = proc_nl_halo(noisy, None, fflow, bflow, cfg.stage(0), mesh)
+    deno = proc_nl_halo(noisy, basic, fflow, bflow, cfg.stage(1), mesh)
     return deno, basic

@@ -28,7 +28,9 @@ from .ops.mask import batched_sites
 
 
 def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
-                    shape, n_dense_batches: int = 0, dense_search_fn=None):
+                    shape, n_dense_batches: int = 0, dense_search_fn=None,
+                    y_bounds=None, search_ctx=None,
+                    coarse_global: bool = False):
     """Phase 1: the search for every site batch -> inds (NB, B, K).
 
     The first ``n_dense_batches`` batches hold interior sites and are
@@ -50,11 +52,12 @@ def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
             _, inds_d = dense_search_fn(srch_yuv, dense_sites)
         parts.append(inds_d.reshape(n_dense_batches, bsz, -1))
     if n_dense_batches < nb:
-        ctx = search.build_search_ctx(srch_yuv, cfg)
+        ctx = search_ctx or search.build_search_ctx(srch_yuv, cfg)
 
         def body(_, sites):
             _, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg,
-                                         ctx=ctx)
+                                         ctx=ctx, y_bounds=y_bounds,
+                                         coarse_global=coarse_global)
             return None, inds
 
         _, inds_g = jax.lax.scan(body, None, site_batches[n_dense_batches:])
@@ -64,7 +67,8 @@ def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
 
 def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                valid_batches, cfg: StageConfig, shape, axis_name=None,
-               n_dense_batches: int = 0, dense_search_fn=None):
+               n_dense_batches: int = 0, dense_search_fn=None,
+               y_bounds=None, search_ctx=None, coarse_global: bool = False):
     """Scan all site batches; returns image-space (deno (T,C,H,W),
     weights (T,H,W)) accumulators (un-normalized).
 
@@ -83,7 +87,8 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     d = c * cfg.ps * cfg.ps
 
     inds_batches = precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg,
-                                   shape, n_dense_batches, dense_search_fn)
+                                   shape, n_dense_batches, dense_search_fn,
+                                   y_bounds, search_ctx, coarse_global)
 
     cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
     cols_noisy, _ = gather.cols_rows(
