@@ -40,7 +40,7 @@ def make_prefix(cfg, shape, n_dense, upto: str):
 
     def fn(noisy, sb, vb, zf):
         yuv = color.rgb2yuv(noisy)
-        inds_b = precompute_inds(yuv, zf, zf, sb, cfg, shape, n_dense)
+        _, inds_b = precompute_inds(yuv, zf, zf, sb, cfg, shape, n_dense)
         if upto == "search":
             return jnp.sum(inds_b)
         cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32

@@ -65,7 +65,7 @@ def main():
 
         # phase 1: search
         f_search = jax.jit(lambda v, s: precompute_inds(
-            v, zf, zf, s, cfg, shape, n_dense))
+            v, zf, zf, s, cfg, shape, n_dense)[1])
         t_search, inds_b = timeit(f_search, yuv, sbj)
         print(f"search (dense+border): {t_search:7.3f} s")
 

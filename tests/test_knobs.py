@@ -103,3 +103,17 @@ def test_agg_k_thins_aggregation():
     p_all = compute_psnr(out_all, clean)
     p_k = compute_psnr(out_k, clean)
     assert p_k > p_all - 0.3, (p_all, p_k)
+
+
+def test_agg_weight_exp():
+    """agg_weight='exp' weights aggregated patches by distance; it changes
+    the output (weighted mean) and stays within the uniform mode's quality
+    (measured ~neutral — see config.py)."""
+    clean, noisy, zf = _clip()
+    cfg_u = default_config(20.0, preset="iphone").stage(0)
+    cfg_e = cfg_u.replace(agg_weight="exp", agg_h=2.0)
+    out_u = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg_u))
+    out_e = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg_e))
+    assert np.abs(out_u - out_e).max() > 1e-3
+    p_u, p_e = compute_psnr(out_u, clean), compute_psnr(out_e, clean)
+    assert abs(p_u - p_e) < 0.3, (p_u, p_e)

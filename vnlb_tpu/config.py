@@ -70,6 +70,15 @@ class StageConfig:
                                     # scatter (the pipeline's row-write
                                     # bill is ~linear in it).  Quality
                                     # frontier: docs/COMPARE.md
+    agg_weight: str = "uniform"     # "uniform" (reference semantics) |
+                                    # "exp": NLM-style distance weighting
+                                    # exp(-d / (agg_h * sigma^2)) of each
+                                    # aggregated patch.  Measured neutral
+                                    # (+-0.01 dB) at sigma=20 — the
+                                    # Wiener-FILTERED patches are already
+                                    # denoised, unlike raw-patch NLM
+    agg_h: float = 4.0              # bandwidth of the "exp" weighting,
+                                    # in units of sigma^2
     w_s: int = 27
     nwt_f: int = 6
     nwt_b: int = 6

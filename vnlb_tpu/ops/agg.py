@@ -95,7 +95,9 @@ def agg_rows(acc: jnp.ndarray, patches: jnp.ndarray,
            with a separate weight scatter.
     patches: (B, K, pt, C, ps, ps) filtered patches.
     rows:  (B, K) BASE row indices (plane 0 of gather.inds_to_rows).
-    valid: (B,) or (B, K) bool.
+    valid: (B,) or (B, K) — bool validity OR float per-patch aggregation
+           weights (0 = excluded; the weight lane then accumulates the
+           weight mass and finalize's division yields the weighted mean).
     """
     b, k = rows.shape
     ptd = acc.shape[1] - 1

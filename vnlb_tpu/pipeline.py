@@ -44,25 +44,30 @@ def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
 
     nb, bsz, _ = site_batches.shape
     parts = []
+    vparts = []
     if n_dense_batches:
         dense_sites = site_batches[:n_dense_batches].reshape(-1, 3)
         if dense_search_fn is None:
-            _, inds_d = exec_search_dense(srch_yuv, dense_sites, cfg)
+            vals_d, inds_d = exec_search_dense(srch_yuv, dense_sites, cfg)
         else:
-            _, inds_d = dense_search_fn(srch_yuv, dense_sites)
+            vals_d, inds_d = dense_search_fn(srch_yuv, dense_sites)
         parts.append(inds_d.reshape(n_dense_batches, bsz, -1))
+        vparts.append(vals_d.reshape(n_dense_batches, bsz, -1))
     if n_dense_batches < nb:
         ctx = search_ctx or search.build_search_ctx(srch_yuv, cfg)
 
         def body(_, sites):
-            _, inds = search.exec_search(srch_yuv, sites, fflow, bflow, cfg,
-                                         ctx=ctx, y_bounds=y_bounds,
-                                         coarse_global=coarse_global)
-            return None, inds
+            return None, search.exec_search(srch_yuv, sites, fflow, bflow,
+                                            cfg, ctx=ctx, y_bounds=y_bounds,
+                                            coarse_global=coarse_global)
 
-        _, inds_g = jax.lax.scan(body, None, site_batches[n_dense_batches:])
+        _, (vals_g, inds_g) = jax.lax.scan(body, None,
+                                           site_batches[n_dense_batches:])
         parts.append(inds_g)
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        vparts.append(vals_g)
+    if len(parts) == 1:
+        return vparts[0], parts[0]
+    return jnp.concatenate(vparts, axis=0), jnp.concatenate(parts, axis=0)
 
 
 def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
@@ -86,9 +91,9 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
     d = c * cfg.ps * cfg.ps
 
-    inds_batches = precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg,
-                                   shape, n_dense_batches, dense_search_fn,
-                                   y_bounds, search_ctx, coarse_global)
+    vals_batches, inds_batches = precompute_inds(
+        srch_yuv, fflow, bflow, site_batches, cfg, shape, n_dense_batches,
+        dense_search_fn, y_bounds, search_ctx, coarse_global)
 
     cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
     cols_noisy, _ = gather.cols_rows(
@@ -107,7 +112,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
             acc0 = jax.lax.pvary(acc0, axis_name)
 
     def body(acc, xs):
-        valid, inds = xs
+        valid, inds, vals = xs
         rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
 
         pnoisy = gather.fill_patches_cols(cols_noisy, rows, cfg.pt, cfg.ps, c)
@@ -140,11 +145,21 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
             # above still used all K
             ka = cfg.agg_k
             pfilt, valid_k = pfilt[:, :ka], valid_k[:, :ka]
-            rows = rows[:, :ka]
-        acc = agg.agg_rows(acc, pfilt, rows[:, :, 0], valid_k)
+            rows, vals = rows[:, :ka], vals[:, :ka]
+        if cfg.agg_weight == "exp":
+            # NLM-style distance weighting: closer candidates contribute
+            # more to the average; vals are per-pixel squared distances on
+            # the [0,1] scale minus offset -> scale by agg_h * sigma^2
+            wk = jnp.exp(-jnp.maximum(vals, 0.0) * (255.0 ** 2)
+                         / (cfg.agg_h * cfg.sigma2))
+            wts_k = valid_k.astype(jnp.float32) * wk
+        else:
+            wts_k = valid_k.astype(jnp.float32)
+        acc = agg.agg_rows(acc, pfilt, rows[:, :, 0], wts_k)
         return acc, None
 
-    acc, _ = jax.lax.scan(body, acc0, (valid_batches, inds_batches))
+    acc, _ = jax.lax.scan(body, acc0,
+                          (valid_batches, inds_batches, vals_batches))
     return agg.fold(acc, cfg.pt, cfg.ps, shape)
 
 
