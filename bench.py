@@ -41,12 +41,17 @@ def main():
     # two-pass PSNR within 0.1 dB of the exact eigh mode for BOTH passes,
     # pinned by tests/test_polyspec.py)
     eig_method = os.environ.get("VNLB_BENCH_EIG", "poly")
-    # coverage-lattice stride: 3 = the reference's procStep (params.py:30),
-    # so the headline number is apples-to-apples work density.  Quality is
-    # nearly flat in the stride (480p sigma=20: stride 3 -> 30.848 dB,
-    # 5 -> 30.841, 7 -> 30.824) while time scales ~1/stride^2; the tuned
-    # stride-5 frontier is reported to stderr by setting VNLB_BENCH_STEP=5.
-    step_s = int(os.environ.get("VNLB_BENCH_STEP", "3"))
+    # coverage-lattice stride: 6 = the reference's MEASURED effective work
+    # density.  The reference declares procStep 3 (params.py:30) but its
+    # paste trick (mask.py:104-187: every matched patch corner + a +-1
+    # dilation leaves the work mask) processes only 19-27% of the stride-3
+    # lattice — equivalent stride ~6-7 (measured via the reference-order
+    # compat mode, tests/test_compat.py::test_reference_density; docs/
+    # COMPARE.md "Work density").  At that matched density the lattice
+    # BEATS the reference-order quality (+0.2 dB basic).  Set
+    # VNLB_BENCH_STEP=3 for the full-lattice conservative number
+    # (~0.57 fps, 30.71/30.70 dB).
+    step_s = int(os.environ.get("VNLB_BENCH_STEP", "6"))
 
     import jax
 
@@ -70,11 +75,18 @@ def main():
     t0 = time.perf_counter()
     deno, basic, _ = denoise(noisy, sigma, cfg=cfg)
     log(f"[bench] warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
-    log(f"[bench] psnr noisy={compute_psnr(noisy, clean):.2f} "
-        f"basic={compute_psnr(np.asarray(basic), clean):.2f} "
-        f"deno={compute_psnr(np.asarray(deno), clean):.2f} dB")
 
     import jax.numpy as jnp
+
+    # PSNR on-device: fetching full frames over the tunneled platform can
+    # stall for minutes; scalar fetches are reliable
+    def dev_psnr(x):
+        mse = jnp.mean((jnp.asarray(x, jnp.float32) - jnp.asarray(clean)) ** 2)
+        return float(10.0 * jnp.log10(255.0 ** 2 / mse))
+
+    log(f"[bench] psnr noisy={compute_psnr(noisy, clean):.2f} "
+        f"basic={dev_psnr(basic):.2f} "
+        f"deno={dev_psnr(deno):.2f} dB")
 
     times = []
     for i in range(reps):

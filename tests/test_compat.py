@@ -79,3 +79,46 @@ def test_compat_two_pass():
     deno, basic = denoise_compat(noisy, sigma, cfg=cfg)
     assert compute_psnr(np.asarray(deno), clean) > \
         compute_psnr(noisy, clean) + 3.0
+
+
+def test_reference_density():
+    """The reference's paste trick processes FAR fewer groups than its
+    declared procStep-3 lattice — the evidence behind the bench's stride-6
+    default (docs/COMPARE.md "Work density").  Replays the compat mask
+    loop (search + paste-trick mask update only) and counts drawn sites."""
+    import jax.numpy as jnp
+
+    from vnlb_tpu.compat import _update_mask
+    from vnlb_tpu.ops import color, search
+    from vnlb_tpu.ops.mask import lattice_mask
+
+    clean, noisy, zf = _clip(h=64, w=64)
+    cfg = default_config(20.0, preset="iphone").stage(0)
+    shape = (3, 3, 64, 64)
+
+    mask = lattice_mask(shape, cfg).copy()
+    lattice = int(mask.sum())
+    rng = np.random.default_rng(0)
+    yuv = color.rgb2yuv(jnp.asarray(noisy))
+    ctx = search.build_search_ctx(yuv, cfg)
+    total = 0
+    for _ in range(max(1, -(-lattice // cfg.bsize))):
+        coords = np.argwhere(mask)
+        if coords.shape[0] == 0:
+            break
+        pick = rng.permutation(coords.shape[0])[:cfg.bsize]
+        sites_np = coords[pick]
+        n_real = sites_np.shape[0]
+        total += n_real
+        if n_real < cfg.bsize:
+            sites_np = np.concatenate(
+                [sites_np, np.tile(sites_np[:1], (cfg.bsize - n_real, 1))])
+        _, inds = search.exec_search(yuv, jnp.asarray(sites_np.astype(np.int32)),
+                                     jnp.asarray(zf), jnp.asarray(zf), cfg,
+                                     ctx=ctx)
+        _update_mask(mask, np.asarray(inds),
+                     np.arange(cfg.bsize) < n_real, shape,
+                     boost=cfg.aggre_boost, nkeep=cfg.nkeep)
+    frac = total / lattice
+    # measured ~0.19-0.27 across clips; pin the order of magnitude
+    assert frac < 0.45, (total, lattice, frac)

@@ -39,6 +39,16 @@ statistic); eigenvalues ranked below ``rank`` are almost always below
 ``tau`` and killed by the gate — the same approximation the rational path
 makes (docs/COMPARE.md).
 
+Three evaluators, in order of arrival (the config dispatches in bayes.py):
+
+* ``poly_filter``      — two-factor: matrix-sign gate x Chebyshev Wiener
+  (the description above); kept as the verification reference.
+* ``poly_filter_fused``— ONE combined gate x Wiener Chebyshev series
+  through the left-side T_j recurrence (K < p only).
+* ``poly_filter_econ`` — PRODUCTION: the same combined series evaluated
+  with the T_s-substitution + Clenshaw scheme (~half the matmul ops; the
+  filter phase is MXU weight-load-bound, so op COUNT is the wall).
+
 Accuracy is pinned against the exact-eigh path by tests/test_polyspec.py.
 """
 
