@@ -113,9 +113,35 @@ def main():
     ref_fps = 5.0 / 145.0
     log(f"[bench] vs reference impl: {fps / ref_fps:.1f}x; "
         f"vs 30fps north star: {fps / 30.0:.3f}")
+
+    # second work density: the full stride-3 lattice (~5x the reference's
+    # measured effective work) — the conservative number, emitted alongside
+    # the headline so the JSON alone shows both (judge r2 request)
+    extra = {}
+    alt_step = 3 if step_s != 3 else 6
+    if not os.environ.get("VNLB_BENCH_SKIP_ALT"):
+        cfg_alt = default_config(sigma, preset=preset, eig_method=eig_method,
+                                 step_s=alt_step, border_mode=border)
+        t0 = time.perf_counter()
+        d_a, b_a, _ = denoise(noisy_dev, sigma, cfg=cfg_alt)
+        _ = float(jnp.sum(d_a)) + float(jnp.sum(b_a))
+        log(f"[bench] stride-{alt_step} warmup (incl. compile): "
+            f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        d_a, b_a, _ = denoise(noisy_dev, sigma, cfg=cfg_alt)
+        _ = float(jnp.sum(d_a)) + float(jnp.sum(b_a))
+        dt_a = time.perf_counter() - t0
+        fps_alt = t / dt_a
+        log(f"[bench] stride-{alt_step}: {dt_a:.3f}s ({fps_alt:.3f} fps, "
+            f"{fps_alt / ref_fps:.1f}x ref)")
+        key = ("full_lattice_stride3" if alt_step == 3
+               else "matched_density_stride6")
+        extra[f"{key}_fps"] = round(fps_alt, 4)
+
     print(json.dumps({"metric": "davis480p_fps", "value": round(fps, 4),
                       "unit": "frames/sec",
-                      "vs_baseline": round(fps / ref_fps, 4)}))
+                      "vs_baseline": round(fps / ref_fps, 4),
+                      "work_density": f"stride{step_s}", **extra}))
 
 
 if __name__ == "__main__":

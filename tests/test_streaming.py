@@ -1,10 +1,13 @@
 """Temporal chunked streaming (api.denoise_streaming): interior-exact.
 
-With context = nwt + pt frames per side, every output frame of a chunk sees
-the same search candidates, patch groups and aggregation contributions as
-the monolithic run — the streamed result must match the full-video result
-up to scatter-order fp rounding.  This is the bounded-memory mode for the
-1080p/100-frame scale-out target (BASELINE.md).
+Each pass streams with context = 2*nwt + pt - 1 frames per side (site reach
+nwt+pt-1 plus those sites' window reach), pass 1's basic is assembled on the
+host before pass 2 streams, and chunk lattices are phase-anchored to global
+frame indices — so every streamed output frame sees exactly the candidates,
+patch groups and aggregation deposits of the monolithic run, up to
+scatter-order fp rounding.  The clips here are LONGER than one context
+window (t_len > chunk + 2*ctx), so multiple true sub-window chunks run and
+the partial-context anchoring path is genuinely exercised.
 """
 
 import numpy as np
@@ -18,14 +21,15 @@ from vnlb_tpu.utils.metrics import compute_psnr
 
 @pytest.fixture(scope="module")
 def clip():
-    clean = synthetic_video(9, 48, 48, seed=7)
+    clean = synthetic_video(13, 48, 48, seed=7)
     noisy = add_noise(clean, 20.0, seed=8)
     return clean, noisy
 
 
 def _small_cfg():
-    # small temporal window so ctx (= nwt + pt = 3) < chunk windows and the
-    # 9-frame clip actually splits into multiple context windows
+    # small temporal window: ctx = 2*nwt + pt - 1 = 2 (pass 1, pt=1) / 3
+    # (pass 2, pt=2), so chunk=3 windows (7 / 9 frames) are strict
+    # sub-windows of the 13-frame clip -> >= 2 true partial-context chunks
     return default_config(20.0, preset="iphone", nwt_f=[1, 1], nwt_b=[1, 1])
 
 
@@ -37,11 +41,13 @@ def test_streaming_matches_monolithic(clip):
 
     d_full, b_full = np.asarray(d_full), np.asarray(b_full)
     assert d_s.shape == noisy.shape
-    # scatter order inside a chunk differs from the monolithic run (site
-    # batches restart per chunk), so pin closeness, not bit-equality
-    assert np.abs(b_s - b_full).max() < 0.5, np.abs(b_s - b_full).max()
-    assert np.abs(d_s - d_full).max() < 0.5, np.abs(d_s - d_full).max()
-    assert abs(compute_psnr(d_s, clean) - compute_psnr(d_full, clean)) < 0.05
+    # context + phase anchoring + assembled basic make every contributing
+    # site identical to the monolithic run; the only difference left is
+    # the fp rounding order of scatter-adds (site batches regroup per
+    # chunk), a few 1e-3-scale ulps on the 255 scale
+    assert np.abs(b_s - b_full).max() < 2e-2, np.abs(b_s - b_full).max()
+    assert np.abs(d_s - d_full).max() < 2e-2, np.abs(d_s - d_full).max()
+    assert abs(compute_psnr(d_s, clean) - compute_psnr(d_full, clean)) < 0.01
 
 
 def test_streaming_single_chunk_degenerates(clip):
@@ -58,7 +64,7 @@ def test_streaming_with_halo_mesh():
     class scale-out composition: time chunks x H strips x chips)."""
     from vnlb_tpu.parallel.tiled import make_mesh
 
-    clean = synthetic_video(7, 56, 56, seed=9)
+    clean = synthetic_video(11, 56, 56, seed=9)
     noisy = add_noise(clean, 20.0, seed=10)
     cfg = default_config(20.0, preset="iphone", nwt_f=[1, 1], nwt_b=[1, 1],
                          border_mode=["mask", "mask"], bsize=[32, 32])

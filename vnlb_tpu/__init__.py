@@ -9,6 +9,30 @@ Public API parity (reference lib/vnlb/__init__.py:14-16):
     denoise, denoise_mod, proc_nl, proc_nl_cache, proc_nn
 """
 
+import os as _os
+
+# Persistent XLA compilation cache ON BY DEFAULT for library users: the
+# two-pass 480p pipeline compiles for ~2 minutes cold, seconds warm.  The
+# reference pays a fresh CUDA-jit/driver warmup every process; here a
+# first `vnlb_tpu.denoise()` in a new process reuses any prior process's
+# compilations.  Opt out with VNLB_TPU_NO_CACHE=1 or override the location
+# with JAX_COMPILATION_CACHE_DIR / VNLB_TPU_CACHE_DIR.
+if not _os.environ.get("VNLB_TPU_NO_CACHE"):
+    _cache_dir = (_os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                  or _os.environ.get("VNLB_TPU_CACHE_DIR",
+                                     "/tmp/vnlb_tpu_jax_cache"))
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    import jax as _jax
+
+    # config.update works even when jax was imported (and its env snapshot
+    # taken) before vnlb_tpu
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:                                   # older jax knobs
+        pass
+
 from .api import (denoise, denoise_mod, denoise_streaming,
                   proc_nl_cache, proc_nn)
 from .config import StageConfig, VnlbConfig, default_config

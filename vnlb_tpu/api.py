@@ -82,20 +82,25 @@ def denoise_streaming(noisy, sigma: float, chunk: int = 12, flows=None,
                       ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Two-pass denoising of arbitrarily long videos in bounded memory.
 
-    The video is processed in temporal chunks of ``chunk`` output frames,
-    each padded with ``ctx = nwt + pt`` context frames per side — exactly
-    the temporal reach of the search window plus the patch extent, so every
-    site of an interior output frame sees the same candidates, patch groups
-    and aggregation contributions as a full-video run: interior chunks
-    match the monolithic result up to scatter-order fp rounding (pinned by
-    tests/test_streaming.py).  First/last chunks clamp at the sequence ends
-    like the monolithic run does.
+    Each pass streams over temporal chunks of ``chunk`` output frames,
+    padded with ``ctx = 2*nwt + pt - 1`` context frames per side: an output
+    frame f receives contributions from sites up to ``nwt + pt - 1`` frames
+    away, and those sites' search windows reach another ``nwt + pt - 1``,
+    so ``2*nwt + pt - 1`` frames of context make every contributing site
+    see exactly the candidates, patch groups and aggregation deposits of a
+    full-video run.  The two passes stream SEPARATELY: pass 1 (basic) runs
+    over the whole video first and is assembled on the host, so the pass-2
+    search/centering reads globally-exact basic frames instead of a
+    per-chunk recomputation (whose own context would need another
+    ``2*nwt + pt - 1`` frames).  Chunk lattices are phase-anchored to
+    global frame indices (``proc_nl(..., t_origin)``), so interior output
+    frames match the monolithic result up to scatter-order fp rounding
+    (pinned by tests/test_streaming.py on true sub-window chunks).
+    First/last chunks clamp at the sequence ends like the monolithic run.
 
-    Both passes run per chunk (the stage-2 search needs the context frames'
-    basic estimate, which is recomputed from the padded chunk).  Peak
-    device memory is that of a (chunk + 2*ctx)-frame clip regardless of the
-    video length — the column-space accumulator (~2.4 GB/frame at 1080p)
-    makes this the enabling mode for long/large clips; combine with
+    Peak device memory is that of a (chunk + 2*ctx)-frame clip regardless
+    of the video length — the column-space accumulator (~2.4 GB/frame at
+    1080p) makes this the enabling mode for long/large clips; combine with
     ``mesh=`` (halo spatial sharding, parallel/halo.py) to split each
     chunk's strips across chips for the 1080p-class scale-out target
     (BASELINE.md).
@@ -111,39 +116,42 @@ def denoise_streaming(noisy, sigma: float, chunk: int = 12, flows=None,
     t_len = noisy.shape[0]
     cfg = cfg or default_config(sigma, preset=preset, verbose=verbose)
     s0, s1 = cfg.stage(0), cfg.stage(1)
-    ctx = max(s0.nwt_b, s0.nwt_f, s1.nwt_b, s1.nwt_f) + max(s0.pt, s1.pt)
     fflow, bflow = _prep_flows(noisy.shape, flows)
     fflow, bflow = np.asarray(fflow), np.asarray(bflow)
 
     if mesh is not None:
         from .parallel.halo import proc_nl_halo
 
-        def run(nz, ff, bf):
-            b = proc_nl_halo(nz, None, ff, bf, s0, mesh)
-            return np.asarray(proc_nl_halo(nz, b, ff, bf, s1, mesh)), \
-                np.asarray(b)
+        def run_pass(scfg, nz, bs, ff, bf, t0):
+            return np.asarray(proc_nl_halo(nz, bs, ff, bf, scfg, mesh,
+                                           t_origin=t0))
     else:
-        def run(nz, ff, bf):
-            b = proc_nl(nz, None, None, ff, bf, s0)
-            return np.asarray(proc_nl(nz, b, None, ff, bf, s1)), \
-                np.asarray(b)
+        def run_pass(scfg, nz, bs, ff, bf, t0):
+            return np.asarray(proc_nl(nz, bs, None, ff, bf, scfg,
+                                      t_origin=t0))
 
-    deno = np.empty_like(noisy)
-    basic = np.empty_like(noisy)
-    win = min(t_len, chunk + 2 * ctx)
-    for start in range(0, t_len, chunk):
-        stop = min(start + chunk, t_len)
-        # fixed-size context window anchored to cover [start, stop): one
-        # compiled shape for every chunk (extra context is harmless — it
-        # only extends the exact-match region)
-        lo = max(0, min(start - ctx, t_len - win))
-        hi = lo + win
-        d, b = run(noisy[lo:hi], fflow[lo:hi], bflow[lo:hi])
-        deno[start:stop] = d[start - lo:stop - lo]
-        basic[start:stop] = b[start - lo:stop - lo]
-        if verbose:
-            print(f"[vnlb_tpu] streamed frames {start}:{stop} "
-                  f"(ctx {lo}:{hi})")
+    def stream_pass(scfg, basic_full):
+        ctx = 2 * max(scfg.nwt_b, scfg.nwt_f) + scfg.pt - 1
+        out = np.empty_like(noisy)
+        win = min(t_len, chunk + 2 * ctx)
+        for start in range(0, t_len, chunk):
+            stop = min(start + chunk, t_len)
+            # fixed-size context window anchored to cover [start, stop):
+            # one compiled shape for every chunk (extra context is harmless
+            # — it only extends the exact-match region)
+            lo = max(0, min(start - ctx, t_len - win))
+            hi = lo + win
+            bs = None if basic_full is None else basic_full[lo:hi]
+            o = run_pass(scfg, noisy[lo:hi], bs, fflow[lo:hi], bflow[lo:hi],
+                         lo)
+            out[start:stop] = o[start - lo:stop - lo]
+            if verbose:
+                print(f"[vnlb_tpu] pass {scfg.step} streamed frames "
+                      f"{start}:{stop} (ctx {lo}:{hi})")
+        return out
+
+    basic = stream_pass(s0, None)
+    deno = stream_pass(s1, basic)
     return deno, basic, clock.toc()
 
 

@@ -22,7 +22,7 @@ import numpy as np
 from ..config import StageConfig
 
 
-def lattice_mask(shape, cfg: StageConfig) -> np.ndarray:
+def lattice_mask(shape, cfg: StageConfig, t_origin: int = 0) -> np.ndarray:
     """Boolean (t, h, w) coverage mask.
 
     Exact vectorization of the reference recurrence (mask.py:315-358) for the
@@ -35,6 +35,14 @@ def lattice_mask(shape, cfg: StageConfig) -> np.ndarray:
       * columns:  ``dw % step == phase_w % step`` where
                   ``phase_w = phase_h + hi//step`` (or 0 on the last valid
                   row), plus the first and last valid columns.
+
+    ``t_origin`` offsets the per-frame phases: a temporal sub-window of a
+    longer video (api.denoise_streaming) passes its global start frame so
+    the window's lattice coincides with the monolithic run's for every
+    shared frame (the last-window-frame phase-0 special case still differs
+    mid-video, but its sites sit >= nwt+pt-1 frames outside the chunk's
+    output range under the streaming context accounting, so their
+    contributions never reach an emitted frame).
     """
     t, c, h, w = shape
     ps, pt, step = cfg.ps, cfg.pt, cfg.step_s
@@ -49,7 +57,7 @@ def lattice_mask(shape, cfg: StageConfig) -> np.ndarray:
     wi = np.arange(end_w)[None, None, :]            # (1, 1, W')
 
     last_t = ti == (end_t - 1)
-    phase_h = np.where(last_t, 0, ti)               # (T',1,1)
+    phase_h = np.where(last_t, 0, ti + t_origin)    # (T',1,1)
 
     take_h = (hi % step) == (phase_h % step)
     first_h = hi == 0
@@ -68,9 +76,9 @@ def lattice_mask(shape, cfg: StageConfig) -> np.ndarray:
     return mask
 
 
-def lattice_sites(shape, cfg: StageConfig) -> np.ndarray:
+def lattice_sites(shape, cfg: StageConfig, t_origin: int = 0) -> np.ndarray:
     """(S, 3) int32 site coordinates in raster (t, h, w) order."""
-    mask = lattice_mask(shape, cfg)
+    mask = lattice_mask(shape, cfg, t_origin)
     sites = np.argwhere(mask).astype(np.int32)
     return sites
 
@@ -95,14 +103,15 @@ def interior_split(sites: np.ndarray, shape, cfg: StageConfig):
     return sites[ok], sites[~ok]
 
 
-def batched_sites(shape, cfg: StageConfig, bsize: int | None = None):
+def batched_sites(shape, cfg: StageConfig, bsize: int | None = None,
+                  t_origin: int = 0):
     """Pad the site list to a multiple of the batch size and reshape.
 
     Returns (site_batches (NB, B, 3) int32, valid (NB, B) bool).  Padded rows
     repeat site 0 and are masked out of aggregation by ``valid``.
     """
     bsize = bsize or cfg.bsize
-    sites = lattice_sites(shape, cfg)
+    sites = lattice_sites(shape, cfg, t_origin)
     s = sites.shape[0]
     nb = max(1, -(-s // bsize))
     pad = nb * bsize - s

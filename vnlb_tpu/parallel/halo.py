@@ -178,7 +178,8 @@ def _search_dense_halo(tile, coarse_videos, sites_local, sites_global_y,
     return vals, _apply_tau(vals, inds, cfg)
 
 
-def _plan_strip_sites(shape, cfg: StageConfig, n_dev: int, halo: int):
+def _plan_strip_sites(shape, cfg: StageConfig, n_dev: int, halo: int,
+                      t_origin: int = 0):
     """Host-side: lattice sites partitioned by home strip, tile-local
     coordinates, padded to a common (NB, B) shape.
 
@@ -186,7 +187,7 @@ def _plan_strip_sites(shape, cfg: StageConfig, n_dev: int, halo: int):
              global_y (n, NB, B))."""
     t_len, c, h, w = shape
     hs = h // n_dev
-    sites = lattice_sites(shape, cfg)
+    sites = lattice_sites(shape, cfg, t_origin)
     bsize = cfg.bsize
 
     per_dev = []
@@ -216,7 +217,13 @@ def _plan_strip_sites(shape, cfg: StageConfig, n_dev: int, halo: int):
 
 
 def _coarse_full_levels(strip, halo_cfg: StageConfig, axis_name: str):
-    """Needle coarse pyramid: pool the strip, all_gather to full frames."""
+    """Needle coarse pyramid: pool the strip, all_gather to full frames.
+
+    Per-strip pooling reconstructs the GLOBAL pyramid level only while the
+    strip height divides by 2 at every level (``_avg_pool2`` truncates odd
+    rows, which would shift every seam); levels past an odd strip height
+    are not built (``proc_nl_halo`` pads H so the full ``needle_scales``
+    pyramid survives — this guard only matters for hand-built meshes)."""
     cfg = halo_cfg
     if cfg.stype != "needle":
         return ()
@@ -224,6 +231,8 @@ def _coarse_full_levels(strip, halo_cfg: StageConfig, axis_name: str):
     levels = []
     cur_strip = strip
     for _ in range(1, cfg.needle_scales):
+        if cur_strip.shape[2] % 2:
+            break                   # odd strip: pooled strips would misalign
         pooled = _avg_pool2(cur_strip)                      # (T, C, Hs/2^l, W/2^l)
         full = lax.all_gather(pooled, axis_name, axis=2, tiled=True)
         if full.shape[2] < r or full.shape[3] < r:
@@ -315,8 +324,8 @@ def _proc_nl_halo_jit(noisy, basic, fflow, bflow, site_batches,
     return color.yuv2rgb(out_yuv)
 
 
-def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh
-                 ) -> jnp.ndarray:
+def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh,
+                 t_origin: int = 0) -> jnp.ndarray:
     """One VNLB pass with the video sharded over H (halo exchange).
 
     Nonzero flows are supported: the halo widens by the worst-case vertical
@@ -324,15 +333,22 @@ def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh
     gather search runs per tile with global-bound clamps (slide border
     semantics); zero flow takes the dense shared-candidate fast path with
     masked borders.
+
+    When H does not split into valid strips (even height, >= halo rows, and
+    divisible by 2^(needle_scales-1) so per-strip needle pooling stays
+    seam-aligned — e.g. the BASELINE 1080p target on 8 chips: 1080/8 = 135,
+    odd), the video is edge-padded at the bottom to the nearest valid
+    multiple, processed, and the output cropped back.  Pad-row sites only
+    touch output rows within one patch of the original bottom edge.
     """
     from ..utils.index import check_codec_range
 
-    noisy = jnp.asarray(noisy, jnp.float32)
-    shape = tuple(int(s) for s in noisy.shape)
+    noisy_np = np.asarray(noisy, np.float32)
+    shape = tuple(int(s) for s in noisy_np.shape)
     check_codec_range(shape)
-    basic = noisy if basic is None else jnp.asarray(basic, jnp.float32)
-    fflow_np = np.asarray(fflow)
-    bflow_np = np.asarray(bflow)
+    basic_np = noisy_np if basic is None else np.asarray(basic, np.float32)
+    fflow_np = np.asarray(fflow, np.float32)
+    bflow_np = np.asarray(bflow, np.float32)
     use_flow = bool(np.any(fflow_np) or np.any(bflow_np))
 
     n_dev = mesh.devices.size
@@ -344,18 +360,48 @@ def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh
                  float(np.abs(bflow_np[:, 1]).max()))
         margin = int(np.ceil(nwt * mv))
     halo = _halo_rows(cfg, margin)
-    hs = h // n_dev
-    if h % n_dev or hs < halo or hs % 2:
-        raise ValueError(
-            f"H={h} must split into {n_dev} even strips of >= {halo} rows "
-            f"for halo sharding (got strip {hs}; halo includes flow margin "
-            f"{margin})")
 
-    sb, vb, gy = _plan_strip_sites(shape, cfg, n_dev, halo)
-    return _proc_nl_halo_jit(noisy, basic, jnp.asarray(fflow_np),
-                             jnp.asarray(bflow_np), jnp.asarray(sb),
-                             jnp.asarray(vb), jnp.asarray(gy), cfg, shape,
-                             mesh, n_dev, halo, use_flow)
+    if h // n_dev < halo:
+        raise ValueError(
+            f"H={h} gives strips of {h // n_dev} rows < halo {halo} on "
+            f"{n_dev} devices (halo includes flow margin {margin}); use "
+            f"fewer devices or a taller video")
+
+    # strip-height requirement: even (tile 2x-pooling parity) and, in
+    # needle mode, divisible by 2^l for every coarse level l that the
+    # global pyramid actually builds — per-strip pooling of an odd strip
+    # truncates rows and shifts every seam (round-2 advisor finding)
+    mult = 2
+    if cfg.stype == "needle":
+        r = cfg.w_s + cfg.ps - 1
+        for lvl in range(1, cfg.needle_scales):
+            if (h >> lvl) >= r and (w >> lvl) >= r:
+                mult = max(mult, 2 ** lvl)
+
+    def _rup(x, m):
+        return -(-x // m) * m
+
+    hs = max(_rup(-(-h // n_dev), mult), _rup(halo, mult))
+    h_run = hs * n_dev
+    if h_run != h:
+        pad = h_run - h
+        noisy_np = np.pad(noisy_np, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                          mode="edge")
+        basic_np = np.pad(basic_np, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                          mode="edge")
+        fflow_np = np.pad(fflow_np, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                          mode="edge")
+        bflow_np = np.pad(bflow_np, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                          mode="edge")
+        shape = (t_len, c, h_run, w)
+
+    sb, vb, gy = _plan_strip_sites(shape, cfg, n_dev, halo, t_origin)
+    out = _proc_nl_halo_jit(jnp.asarray(noisy_np), jnp.asarray(basic_np),
+                            jnp.asarray(fflow_np), jnp.asarray(bflow_np),
+                            jnp.asarray(sb), jnp.asarray(vb),
+                            jnp.asarray(gy), cfg, shape,
+                            mesh, n_dev, halo, use_flow)
+    return out[:, :, :h, :] if h_run != h else out
 
 
 def denoise_halo(noisy, sigma: float, mesh: Optional[Mesh] = None,

@@ -199,19 +199,20 @@ def _pad_batch(sites, bsize):
     return sites.reshape(nb, bsize, 3), valid.reshape(nb, bsize)
 
 
-def plan_sites(shape, cfg: StageConfig, zero_flow: bool):
+def plan_sites(shape, cfg: StageConfig, zero_flow: bool, t_origin: int = 0):
     """Host-side site planning (static per shape/config).
 
     With zero flow, interior sites go first (searched densely in one call),
     border sites after (gather path); otherwise one raster-order batching.
-    Returns (site_batches, valid_batches, n_dense_batches).
+    Returns (site_batches, valid_batches, n_dense_batches).  ``t_origin``
+    anchors the lattice phases to global frame indices (streaming chunks).
     """
     if not zero_flow:
-        sb, vb = batched_sites(shape, cfg)
+        sb, vb = batched_sites(shape, cfg, t_origin=t_origin)
         return sb, vb, 0
     from .ops.mask import interior_split, lattice_sites
 
-    sites = lattice_sites(shape, cfg)
+    sites = lattice_sites(shape, cfg, t_origin)
     if cfg.border_mode == "mask":
         # every site rides the dense path; OOB candidates are masked +inf
         # inside exec_search_dense
@@ -230,12 +231,14 @@ def plan_sites(shape, cfg: StageConfig, zero_flow: bool):
 
 def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
             fflow, bflow, cfg: StageConfig,
-            zero_flow: Optional[bool] = None) -> jnp.ndarray:
+            zero_flow: Optional[bool] = None, t_origin: int = 0
+            ) -> jnp.ndarray:
     """Run one VNLB pass; RGB (T,C,H,W) in, RGB denoised out.
 
     ``zero_flow`` selects the dense shared-candidate search (exact for the
     default zero-flow configuration); auto-detected from the flow values
-    when not given.
+    when not given.  ``t_origin`` = global index of frame 0 (streaming
+    chunks; aligns the coverage-lattice phases with the monolithic run).
     """
     from .utils.index import check_codec_range
 
@@ -255,7 +258,7 @@ def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
     fflow = jnp.asarray(fflow, jnp.float32)
     bflow = jnp.asarray(bflow, jnp.float32)
 
-    sb, vb, n_dense = plan_sites(shape, cfg, zero_flow)
+    sb, vb, n_dense = plan_sites(shape, cfg, zero_flow, t_origin)
     return _proc_nl_jit(noisy, basic, clean, fflow, bflow,
                         jnp.asarray(sb), jnp.asarray(vb), cfg, shape,
                         n_dense_batches=n_dense)
