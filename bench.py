@@ -114,6 +114,22 @@ def main():
     log(f"[bench] vs reference impl: {fps / ref_fps:.1f}x; "
         f"vs 30fps north star: {fps / 30.0:.3f}")
 
+    # achieved useful-FLOPs / MFU estimate (analytic model, utils/flops.py):
+    # algorithmic patch-distance + filter-chain + aggregation work divided
+    # by wall — padding lanes / discarded planes / recompute count as
+    # overhead by construction, which is what MFU should expose
+    from vnlb_tpu.ops.mask import lattice_sites
+    from vnlb_tpu.utils.flops import V5E_BF16_TFLOPS, two_pass_flops
+
+    shape = (t, 3, h, w)
+    ns0 = lattice_sites(shape, cfg.stage(0)).shape[0]
+    ns1 = lattice_sites(shape, cfg.stage(1)).shape[0]
+    fl = two_pass_flops(shape, cfg, ns0, ns1)
+    tflops = fl / best / 1e12
+    log(f"[bench] useful work ~{fl / 1e9:.1f} GFLOP; achieved "
+        f"~{tflops:.2f} TFLOP/s = {100 * tflops / V5E_BF16_TFLOPS:.2f}% "
+        f"MFU (v5e bf16 peak {V5E_BF16_TFLOPS:.0f})")
+
     # second work density: the full stride-3 lattice (~5x the reference's
     # measured effective work) — the conservative number, emitted alongside
     # the headline so the JSON alone shows both (judge r2 request)

@@ -10,5 +10,14 @@ _root = str(Path(__file__).resolve().parent.parent)
 if _root not in sys.path:
     sys.path.insert(0, _root)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vnlb_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# CPU-forced runs skip the cache: this host's XLA:CPU AOT executable
+# serialize/deserialize is unreliable (machine-feature mismatch; observed
+# segfaults — see tests/conftest.py).  TPU executables cache fine, and
+# that is where the multi-minute compiles live.
+if (os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+        or os.environ.get("VNLB_FORCE_CPU")):
+    os.environ.setdefault("VNLB_TPU_NO_CACHE", "1")
+else:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/vnlb_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -16,8 +16,11 @@ import os as _os
 # reference pays a fresh CUDA-jit/driver warmup every process; here a
 # first `vnlb_tpu.denoise()` in a new process reuses any prior process's
 # compilations.  Opt out with VNLB_TPU_NO_CACHE=1 or override the location
-# with JAX_COMPILATION_CACHE_DIR / VNLB_TPU_CACHE_DIR.
-if not _os.environ.get("VNLB_TPU_NO_CACHE"):
+# with JAX_COMPILATION_CACHE_DIR / VNLB_TPU_CACHE_DIR.  CPU-forced
+# processes skip it: XLA:CPU AOT executable (de)serialization is unreliable
+# on feature-mismatched hosts (observed segfaults — tests/conftest.py).
+if not _os.environ.get("VNLB_TPU_NO_CACHE") \
+        and _os.environ.get("JAX_PLATFORMS", "").strip() != "cpu":
     _cache_dir = (_os.environ.get("JAX_COMPILATION_CACHE_DIR")
                   or _os.environ.get("VNLB_TPU_CACHE_DIR",
                                      "/tmp/vnlb_tpu_jax_cache"))

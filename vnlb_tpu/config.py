@@ -116,6 +116,12 @@ class StageConfig:
                                     # dense fast path; the top-K near
                                     # borders picks from fewer candidates)
     dense_impl: str = "auto"        # "auto" (pallas on TPU) | "pallas" | "xla"
+    dense_rows: str = "auto"        # dense-path level-0 row coverage:
+                                    # "auto" = strided-query rows when the
+                                    # pipeline passes the lattice phases
+                                    # (only ~1/step_s of rows hold queries)
+                                    # | "full" = distances at every row
+                                    # (arbitrary-site callers; verification)
     cols_bf16: bool = False         # store patch columns in bf16 (halves
                                     # gather/scatter traffic in the filter
                                     # phase; ~0.4% patch quantization)
@@ -145,6 +151,12 @@ class StageConfig:
                                     # on the 40x40 exact-eigh pin clip:
                                     # 16/20/24/28 all within +0.03 dB of
                                     # exact; presets run 16)
+    poly_pack2: bool = True         # matrix-regime econ path: pack TWO
+                                    # groups per block-diagonal matrix when
+                                    # 2p <= 128 (the MXU is weight-load-
+                                    # bound, so a 49-dim group wastes half
+                                    # the 128-lane tile; packing halves the
+                                    # matmul op count at identical math)
     poly_impl: str = "xla"          # poly path backend: "xla" (ops/polyspec
                                     # — XLA's batched matmuls pipeline the
                                     # MXU across groups; measured FASTER
@@ -213,6 +225,17 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     offset0 = 2.0 * (sigma / 255.0) ** 2
     base = dict(sigma=float(sigma))
 
+    # sigma-adaptive fused-series degree: the econ gate's transition width
+    # is ~1.2*(pi/deg)*sqrt(tau*lub) with tau = thresh*sigma^2 (+sigmab^2),
+    # so holding width/tau ~ constant needs deg ~ 1/sqrt(tau) ~ 1/sigma^?;
+    # measured on the exact-eigh pin clip (scripts/tune_sigma10.py):
+    # sigma=10 needs deg>=24 for the <=0.1 dB basic budget (16 leaks 0.135),
+    # sigma=40 already holds it at 12.  deg = 16*sqrt(20/sigma), mult of 4,
+    # reproduces 24/16/12 at sigma 10/20/40 (pinned by the test_polyspec
+    # sigma sweep).
+    deg_f = int(min(32, max(8, -(-16.0 * (20.0 / max(sigma, 1.0)) ** 0.5
+                                 // 4) * 4)))
+
     # agg_k=32: aggregate only the 32 closest of the K patches.  Measured
     # quality frontier (96x96 sigma=20 two-pass): 0 (all K) -> 29.23/29.16,
     # 48 -> 29.38/29.23, 32 -> 29.40/29.25, 16 -> 29.38/29.24 dB — the
@@ -230,7 +253,7 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     s0 = dict(base, step=0, sigma_basic=float(sigma), npatches=100, gamma=0.95,
               thresh=2.7, tau=0.0, flat_areas=False, offset=offset0,
               srch_img="noisy", cpatches="noisy", dist_chnls=1, agg_k=32,
-              eig_method="poly", ns_iters=10, poly_deg=8, poly_deg_fused=16,
+              eig_method="poly", ns_iters=10, poly_deg=8, poly_deg_fused=deg_f,
               cols_bf16=True)
     # stage 1 poly knobs: the covariance source is the (nearly clean) basic
     # estimate, whose spectrum has a wide gap at tau — fewer sign iterations
@@ -243,7 +266,7 @@ def default_config(sigma: float, preset: str = "iphone", verbose: bool = False,
     s1 = dict(base, step=1, sigma_basic=0.0, npatches=60, gamma=0.2,
               thresh=0.7, tau=0.0, flat_areas=True, offset=0.0,
               srch_img="basic", cpatches="basic", dist_chnls=3,
-              eig_method="poly", ns_iters=10, poly_deg=8, poly_deg_fused=16,
+              eig_method="poly", ns_iters=10, poly_deg=8, poly_deg_fused=deg_f,
               agg_k=32, cols_bf16=True)
 
     if preset in ("sss", "sss_v2", "iphone"):

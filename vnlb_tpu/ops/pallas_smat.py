@@ -1,0 +1,264 @@
+"""Pallas TPU kernel: strided-query dense distances via MXU selection matmuls.
+
+Third-generation level-0 search kernel (after ops/pallas_dense.py's all-rows
+kernel and its strided-row variant).  The coverage lattice (ops/mask.py,
+reference lib/vnlb/search_mask/mask.py:315-358) queries only ~1/step_s of
+rows AND ~1/step_s of columns per row; the dense kernel computes candidate
+planes for every pixel (all wasted but 1/step^2 at the production stride 6),
+and the strided-ROW variant still pays full-width box sums plus a Mosaic
+program so large it compiled for ~6 minutes.
+
+This kernel instead evaluates, for one temporal offset dt and one spatial
+offset (a, b) at a time,
+
+    d(q, m) = sum_{c, dy, dx} (vq[c, y_q+dy, x_m+dx] - vd[c, y_q+a+dy-h,
+                                                          x_m+b+dx-h])^2
+
+for ALL lattice queries of a frame with TWO matmuls against constant 0/1
+selection-sum matrices:
+
+    sq  = sum_c (vq[c] - vd[c] shifted (a,b))^2          # VPU, per pixel
+    ybx = Sy @ sq      # (rows_pm, W): y-direction ps-box-sum AT query rows
+    out[g] = ybx[g] @ Sx[colphase(g)]                    # x box-sum + select
+
+The ps x ps box sum and the strided row/column selection ride the MXU as
+bf16 matmuls (the VPU does only the elementwise squared difference), which
+is where a TPU wants this workload: ~150 MFLOP of matmul per offset instead
+of full-height shifted-add chains.  The squared-difference form equals the
+reference's q2 + b2 - 2*cross decomposition exactly in real arithmetic
+(including at zero-padded out-of-bounds candidates) and is better
+conditioned; values differ from the dense path only in fp rounding, so the
+parity tests compare with tolerance + tie-aware index checks
+(tests/test_search_smat.py).
+
+Row layout ("phase-major"): the lattice's column phase advances by one per
+query row (phase_w = (phase_h + k) % step, mask.py:67), so query rows are
+grouped by k mod step — every row of a group shares one column-selection
+matrix, and each group is one (gmax, W) @ (W, nc) matmul.  The always-on
+border rows (frame rows 0 and hp-1, lattice first_h/last_h) ride two spare
+slots: row 0 shares group 0's column phase (phase_h + 0); row hp-1 uses
+column phase 0 (the lattice's last_h special case) = group (-phase_h) % step.
+All phases are static (qrow0 is a static tuple), so the Sy/Sx constants are
+built in numpy at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rup(x, m):
+    return -(-x // m) * m
+
+
+def smat_layout(hp: int, wp: int, step: int):
+    """Static shape plan shared by the builders, the kernel wrapper and the
+    site mapping.  Returns (gmax, rows_pm, rowpad, nc, ncpad)."""
+    nqmax = -(-hp // step)
+    gmax = -(-nqmax // step) + 2          # j-slots + e0 slot + e1 slot
+    rows_pm = step * gmax
+    rowpad = _rup(rows_pm, 16)            # 16: Sy is bf16, tile (16, 128)
+    nc = 2 + -(-wp // step)               # [x=0, x=wp-1, strided cols...]
+    ncpad = _rup(nc, 128)
+    return gmax, rows_pm, rowpad, nc, ncpad
+
+
+def build_row_select(qrow0, hp: int, step: int, ps: int, hpad: int):
+    """(F, rowpad, hpad) bf16 0/1: phase-major y-box-sum selection rows.
+
+    The k-th strided row of frame f is frame row qrow0[f] + k*step; it
+    lands in group g = k % step, slot j = k // step (so each group's rows
+    share one column phase).  Spare slots: gmax-2 of group 0 = frame row 0
+    (first_h, column phase phase_h like group 0); gmax-1 of group
+    (-ph) % step = frame row hp-1 (last_h, column phase 0)."""
+    gmax, rows_pm, rowpad, _, _ = smat_layout(hp, step, step)
+    f_cnt = len(qrow0)
+    sy = np.zeros((f_cnt, rowpad, hpad), np.float32)
+    for f, ph in enumerate(qrow0):
+        ph = int(ph) % step
+        nq = (hp - 1 - ph) // step + 1
+        for k in range(nq):
+            y = ph + k * step
+            g, j = k % step, k // step
+            sy[f, g * gmax + j, y:y + ps] = 1.0
+        sy[f, 0 * gmax + (gmax - 2), 0:ps] = 1.0              # first_h row
+        ge = (-ph) % step
+        sy[f, ge * gmax + (gmax - 1), hp - 1:hp - 1 + ps] = 1.0  # last_h row
+    return sy.astype(jnp.bfloat16)
+
+
+def build_col_select(qrow0, wp: int, step: int, ps: int, wpad: int):
+    """(F, step, wpad, ncpad) bf16 0/1: per-group x-box-sum + column select.
+
+    Canonical phase-c matrix: slot 0 sums cols [0, ps); slot 1 sums
+    [wp-1, wp-1+ps); slot 2+m sums [c + m*step, +ps).  Frame f's group g
+    uses phase (qrow0[f] + g) % step."""
+    _, _, _, nc, ncpad = smat_layout(10**9, wp, step)
+    canon = np.zeros((step, wpad, ncpad), np.float32)
+    for c in range(step):
+        canon[c, 0:ps, 0] = 1.0
+        canon[c, wp - 1:wp - 1 + ps, 1] = 1.0
+        m_cnt = (wp - 1 - c) // step + 1
+        for m in range(m_cnt):
+            x = c + m * step
+            canon[c, x:x + ps, 2 + m] = 1.0
+    f_cnt = len(qrow0)
+    sx = np.empty((f_cnt, step, wpad, ncpad), np.float32)
+    for f, ph in enumerate(qrow0):
+        for g in range(step):
+            sx[f, g] = canon[(int(ph) + g) % step]
+    return sx.astype(jnp.bfloat16)
+
+
+def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
+                   rowpad: int):
+    """Flat (row_pm * ncpad + col)-style index of each LATTICE site into the
+    (F, rowpad, ncpad)-flattened smat output (see module docstring layout).
+
+    Every site must lie on the coverage lattice (ops/mask.lattice_mask)."""
+    gmax, _, _, _, _ = smat_layout(hp, wp, step)
+    ts, ys, xs = sites[:, 0], sites[:, 1], sites[:, 2]
+    qrow_arr = jnp.asarray([int(p) % step for p in qrow0], jnp.int32)
+    ph = qrow_arr[jnp.clip(ts, 0, qrow_arr.shape[0] - 1)]
+
+    is_last = ys == hp - 1
+    on_row = ((ys % step) == ph) & ~is_last
+    k = jnp.where(on_row, (ys - ph) // step, 0)
+    g = k % step
+    row_main = g * gmax + k // step
+    row_e0 = 0 * gmax + (gmax - 2)
+    row_e1 = ((-ph) % step) * gmax + (gmax - 1)
+    row_pm = jnp.where(is_last, row_e1,
+                       jnp.where(on_row, row_main, row_e0))
+
+    # column phase of the row the site landed on (lattice phase_w)
+    c_row = jnp.where(is_last, 0, jnp.where(on_row, (ph + k) % step, ph))
+    on_col = (xs % step) == c_row
+    col = jnp.where(on_col, 2 + (xs - c_row) // step,
+                    jnp.where(xs == 0, 0, 1))
+    return ts * (rowpad * ncpad) + row_pm * ncpad + col
+
+
+def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
+            vq_s, vd_s, sy_s, sx_s, sems, *, w_s, step, gmax,
+            ptc, hpad, wpad, rowpad, ncpad):
+    """One grid step = one (frame, row-offset a); the frame's planes live in
+    PERSISTENT VMEM scratch, DMA'd on the frame's first step only.  The row
+    offset rides the sequential TPU grid (unrolling all 225 offsets in the
+    body made Mosaic compile for >20 min; a dynamic sublane slice is not
+    8-aligned-provable, so the row shift is a pltpu.roll/DynamicRotate);
+    the 15 column offsets b stay statically unrolled — static lane-offset
+    slices lower fine (ops/pallas_dense.py precedent)."""
+    f = pl.program_id(0)
+    a = pl.program_id(1)
+
+    @pl.when(a == 0)
+    def _load():
+        copies = []
+        for p in range(ptc):
+            copies.append(pltpu.make_async_copy(
+                vq_hbm.at[f, p], vq_s.at[p], sems.at[p]))
+            copies.append(pltpu.make_async_copy(
+                vd_hbm.at[f, p], vd_s.at[p], sems.at[ptc + p]))
+        copies.append(pltpu.make_async_copy(
+            sy_hbm.at[f], sy_s, sems.at[2 * ptc]))
+        copies.append(pltpu.make_async_copy(
+            sx_hbm.at[f], sx_s, sems.at[2 * ptc + 1]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+    # row shift a: rotate rows left by a (shift hdpad-a ≡ -a mod hdpad) and
+    # keep the top hpad rows = original rows a..a+hpad-1 (never wraps:
+    # a + hpad <= (w_s-1) + hpad <= hdpad by construction)
+    hdpad = vd_s.shape[1]
+    vdr = [pltpu.roll(vd_s[p], hdpad - a, axis=0)[0:hpad, :]
+           for p in range(ptc)]
+    vqv = [vq_s[p] for p in range(ptc)]
+    sy_arr = sy_s[...]
+    for b in range(w_s):                                      # lane shift
+        diff = vqv[0] - vdr[0][:, b:b + wpad]
+        sq = diff * diff
+        for p in range(1, ptc):
+            d2 = vqv[p] - vdr[p][:, b:b + wpad]
+            sq = sq + d2 * d2
+        ybx = jnp.dot(sy_arr, sq.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        ybb = ybx.astype(jnp.bfloat16)
+        for g in range(step):
+            og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
+                         preferred_element_type=jnp.float32)
+            out_ref[0, b, g * gmax:(g + 1) * gmax, :] = og
+    # rows beyond step*gmax (the <=7 rowpad filler rows) stay whatever
+    # VMEM held — never addressed by site_rows_smat
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ps", "w_s", "step", "qrow0", "interpret"))
+def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
+                      interpret: bool = False):
+    """Distances at ALL lattice sites of every frame, one temporal offset.
+
+    vq/vd: (F, ptc, H, W) float32 query / candidate frame stacks (vd already
+    rolled to the dt of interest; wrap-around frames produce garbage rows
+    that the caller masks per dt).
+    qrow0: static per-frame lattice row-phase tuple (length F).
+
+    Returns (F, w_s*w_s, rowpad, ncpad) float32 squared distances in the
+    phase-major layout of ``site_rows_smat``; non-lattice slots are garbage.
+    """
+    f_cnt, ptc, h, w = vq.shape
+    half = (w_s - 1) // 2
+    hp, wp = h - ps + 1, w - ps + 1
+    gmax, rows_pm, rowpad, nc, ncpad = smat_layout(hp, wp, step)
+
+    # hpad is BOTH sq's sublane dim and Sy's lane dim -> 128-aligned (Mosaic
+    # requires 128-mult lane slices on the Sy DMA; at 480p rup(480,128)=512
+    # costs nothing over the 8-mult pad)
+    hpad = _rup(h, 128)
+    wpad = _rup(w, 128)
+    hdpad = _rup(hpad + w_s - 1, 8)
+    wdpad = _rup(wpad + w_s - 1, 128)
+
+    vq_p = jnp.pad(vq, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w)))
+    # candidate plane shifted by (-half, -half): vd_p[.., half+y, half+x] =
+    # vd[.., y, x], zeros elsewhere (zero-padded OOB candidates match the
+    # dense path's q2 + 0 - 0 semantics exactly: sum (vq - 0)^2 = q2)
+    vd_p = jnp.pad(vd, ((0, 0), (0, 0),
+                        (half, hdpad - h - half),
+                        (half, wdpad - w - half)))
+
+    sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad))
+    sx = jnp.asarray(build_col_select(qrow0, wp, step, ps, wpad))
+
+    kernel = functools.partial(
+        _kernel, w_s=w_s, step=step, gmax=gmax, ptc=ptc, hpad=hpad,
+        wpad=wpad, rowpad=rowpad, ncpad=ncpad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(f_cnt, w_s),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        out_specs=pl.BlockSpec(
+            (1, w_s, rowpad, ncpad), lambda f, a: (f, a, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (f_cnt, w_s * w_s, rowpad, ncpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ptc, hpad, wpad), jnp.float32),
+            pltpu.VMEM((ptc, hdpad, wdpad), jnp.float32),
+            pltpu.VMEM((rowpad, hpad), jnp.bfloat16),
+            pltpu.VMEM((step, wpad, ncpad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2 * ptc + 2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(vq_p, vd_p, sy, sx)
+    return out

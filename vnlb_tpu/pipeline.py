@@ -30,7 +30,7 @@ from .ops.mask import batched_sites
 def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
                     shape, n_dense_batches: int = 0, dense_search_fn=None,
                     y_bounds=None, search_ctx=None,
-                    coarse_global: bool = False):
+                    coarse_global: bool = False, qrow0=None):
     """Phase 1: the search for every site batch -> inds (NB, B, K).
 
     The first ``n_dense_batches`` batches hold interior sites and are
@@ -48,7 +48,8 @@ def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
     if n_dense_batches:
         dense_sites = site_batches[:n_dense_batches].reshape(-1, 3)
         if dense_search_fn is None:
-            vals_d, inds_d = exec_search_dense(srch_yuv, dense_sites, cfg)
+            vals_d, inds_d = exec_search_dense(srch_yuv, dense_sites, cfg,
+                                               qrow0=qrow0)
         else:
             vals_d, inds_d = dense_search_fn(srch_yuv, dense_sites)
         parts.append(inds_d.reshape(n_dense_batches, bsz, -1))
@@ -73,7 +74,8 @@ def precompute_inds(srch_yuv, fflow, bflow, site_batches, cfg: StageConfig,
 def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                valid_batches, cfg: StageConfig, shape, axis_name=None,
                n_dense_batches: int = 0, dense_search_fn=None,
-               y_bounds=None, search_ctx=None, coarse_global: bool = False):
+               y_bounds=None, search_ctx=None, coarse_global: bool = False,
+               qrow0=None):
     """Scan all site batches; returns image-space (deno (T,C,H,W),
     weights (T,H,W)) accumulators (un-normalized).
 
@@ -93,7 +95,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
 
     vals_batches, inds_batches = precompute_inds(
         srch_yuv, fflow, bflow, site_batches, cfg, shape, n_dense_batches,
-        dense_search_fn, y_bounds, search_ctx, coarse_global)
+        dense_search_fn, y_bounds, search_ctx, coarse_global, qrow0)
 
     cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
     cols_noisy, _ = gather.cols_rows(
@@ -169,10 +171,11 @@ def select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg: StageConfig):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "shape", "n_dense_batches"))
+                   static_argnames=("cfg", "shape", "n_dense_batches",
+                                    "qrow0"))
 def _proc_nl_jit(noisy, basic, clean, fflow, bflow, site_batches,
                  valid_batches, cfg: StageConfig, shape,
-                 n_dense_batches: int = 0):
+                 n_dense_batches: int = 0, qrow0=None):
     noisy_yuv = color.rgb2yuv(noisy)
     basic_yuv = color.rgb2yuv(basic)
     clean_yuv = color.rgb2yuv(clean)
@@ -180,7 +183,8 @@ def _proc_nl_jit(noisy, basic, clean, fflow, bflow, site_batches,
 
     deno_img, wts_img = accumulate(noisy_yuv, basic_yuv, srch, fflow, bflow,
                                    site_batches, valid_batches, cfg, shape,
-                                   n_dense_batches=n_dense_batches)
+                                   n_dense_batches=n_dense_batches,
+                                   qrow0=qrow0)
 
     fallback = basic_yuv if cfg.step == 1 else noisy_yuv
     deno_yuv = agg.finalize_img(deno_img, wts_img, fallback)
@@ -259,6 +263,14 @@ def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
     bflow = jnp.asarray(bflow, jnp.float32)
 
     sb, vb, n_dense = plan_sites(shape, cfg, zero_flow, t_origin)
+    # coverage-lattice phase rows (static): lets the dense search compute
+    # level-0 distances only at query rows (ops/search_dense strided path)
+    qrow0 = None
+    if zero_flow and n_dense:
+        end_t = shape[0] - cfg.pt + 1
+        qrow0 = tuple(
+            ((f + t_origin) % cfg.step_s) if f < end_t - 1 else 0
+            for f in range(end_t))
     return _proc_nl_jit(noisy, basic, clean, fflow, bflow,
                         jnp.asarray(sb), jnp.asarray(vb), cfg, shape,
-                        n_dense_batches=n_dense)
+                        n_dense_batches=n_dense, qrow0=qrow0)
