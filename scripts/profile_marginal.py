@@ -33,14 +33,15 @@ def timeit(fn, *args, n=3):
     return best, out
 
 
-def make_prefix(cfg, shape, n_dense, upto: str):
+def make_prefix(cfg, shape, n_dense, upto: str, qrow0=None):
     t_len, c, h, w = shape
     hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
     d = c * cfg.ps * cfg.ps
 
     def fn(noisy, sb, vb, zf):
         yuv = color.rgb2yuv(noisy)
-        _, inds_b = precompute_inds(yuv, zf, zf, sb, cfg, shape, n_dense)
+        _, inds_b = precompute_inds(yuv, zf, zf, sb, cfg, shape, n_dense,
+                                    qrow0=qrow0)
         if upto == "search":
             return jnp.sum(inds_b)
         cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
@@ -66,11 +67,23 @@ def make_prefix(cfg, shape, n_dense, upto: str):
             if cfg.agg_k and cfg.agg_k < cfg.npatches:
                 ka = cfg.agg_k
                 pf, vk, rows = pf[:, :ka], vk[:, :ka], rows[:, :ka]
-            return agg.agg_rows(acc, pf, rows[:, :, 0], vk), None
+            # mirror pipeline.accumulate's deferred global scatter
+            b_, k_ = vk.shape
+            vm = vk[:, :, None].astype(pf.dtype)
+            upd = jnp.concatenate(
+                [pf.reshape(b_, k_, cfg.pt * d) * vm, vm], axis=-1)
+            return acc, (rows[:, :, 0], upd)
 
         acc, ys = jax.lax.scan(body, acc0, (vb, inds_b))
         if upto in ("gather", "bayes"):
             return jnp.sum(ys)
+        rows_all, upd_all = ys
+        if upto == "stack":
+            return jnp.sum(rows_all) + jnp.sum(upd_all[:, :, -1])
+        acc = acc.at[rows_all.reshape(-1)].add(
+            upd_all.reshape(-1, cfg.pt * d + 1), mode="drop")
+        if upto == "scatter":
+            return jnp.sum(acc[::997])
         deno, wts = agg.fold(acc, cfg.pt, cfg.ps, shape)
         return jnp.sum(deno) + jnp.sum(wts)
 
@@ -89,7 +102,7 @@ def main():
     ap.add_argument("--border", default="mask")
     ap.add_argument("--steps", default="0,1")
     ap.add_argument("--bsize", type=int, default=0)
-    ap.add_argument("--prefixes", default="search,gather,bayes,full")
+    ap.add_argument("--prefixes", default="search,gather,bayes,stack,scatter,full")
     args = ap.parse_args()
 
     t, h, w = args.t, args.h, args.w
@@ -107,13 +120,17 @@ def main():
             cfg = cfg.replace(bsize=args.bsize)
         sb, vb, n_dense = plan_sites(shape, cfg, True)
         sbj, vbj = jnp.asarray(sb), jnp.asarray(vb)
+        # production strided-query path (matches pipeline.proc_nl)
+        end_t = shape[0] - cfg.pt + 1
+        qrow0 = tuple((f % cfg.step_s) if f < end_t - 1 else 0
+                      for f in range(end_t)) if n_dense else None
         print(f"\n== step {step}: {sb.shape[0]} batches x {cfg.bsize} "
               f"(n_dense={n_dense}, K={cfg.npatches}, pt={cfg.pt}, "
               f"stype={cfg.stype}, eig={cfg.eig_method})", flush=True)
 
         prev = 0.0
         for upto in args.prefixes.split(","):
-            f = make_prefix(cfg, shape, n_dense, upto)
+            f = make_prefix(cfg, shape, n_dense, upto, qrow0)
             tt, _ = timeit(f, noisy, sbj, vbj, zf)
             print(f"  upto {upto:7s}: {tt:7.3f} s  (marginal "
                   f"{tt - prev:+7.3f} s)", flush=True)

@@ -22,13 +22,16 @@ import jax.numpy as jnp
 
 from .config import VnlbConfig, default_config
 from .pipeline import proc_nl
-from .utils.flow_io import zero_flows
 from .utils.timer import Timer
 
 
 def _prep_flows(noisy_shape, flows):
     if flows is None:
-        return zero_flows(noisy_shape)
+        # allocate the zeros ON DEVICE: a host-side (t,2,h,w) pair is a
+        # ~33 MB host->device transfer per call through the axon tunnel
+        t, _, h, w = noisy_shape
+        z = jnp.zeros((t, 2, h, w), jnp.float32)
+        return z, z
     if isinstance(flows, dict):
         fflow, bflow = flows["fflow"], flows["bflow"]
     else:

@@ -113,6 +113,19 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         else:
             acc0 = jax.lax.pvary(acc0, axis_name)
 
+    # ONE deferred scatter beats per-batch scatters in the scan: measured
+    # 46 ns/row one-shot vs 140-260 ns/row for the 8k-row in-scan scatters
+    # (scripts/exp_scatter.py; XLA's serialized row RMWs amortize far
+    # better in one large op).  The scan then stacks (rows, updates) —
+    # contiguous writes — and the scatter runs once at the end.  Falls
+    # back to in-scan scatters when the stacked update buffer would be
+    # too large (long windows, e.g. 1080p streaming chunks).
+    nb = site_batches.shape[0]
+    ka = (cfg.agg_k if cfg.agg_k and cfg.agg_k < cfg.npatches
+          else cfg.npatches)
+    upd_bytes = nb * cfg.bsize * ka * (cfg.pt * d + 1) * 4
+    global_scatter = upd_bytes <= int(3e9)
+
     def body(acc, xs):
         valid, inds, vals = xs
         rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
@@ -157,11 +170,24 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
             wts_k = valid_k.astype(jnp.float32) * wk
         else:
             wts_k = valid_k.astype(jnp.float32)
-        acc = agg.agg_rows(acc, pfilt, rows[:, :, 0], wts_k)
-        return acc, None
+        if not global_scatter:
+            acc = agg.agg_rows(acc, pfilt, rows[:, :, 0], wts_k)
+            return acc, None
+        b_, k_ = wts_k.shape
+        vm = wts_k[:, :, None].astype(pfilt.dtype)
+        upd = jnp.concatenate(
+            [pfilt.reshape(b_, k_, cfg.pt * d) * vm, vm], axis=-1)
+        return acc, (rows[:, :, 0], upd)
 
-    acc, _ = jax.lax.scan(body, acc0,
-                          (valid_batches, inds_batches, vals_batches))
+    acc, ys = jax.lax.scan(body, acc0,
+                           (valid_batches, inds_batches, vals_batches))
+    if global_scatter:
+        rows_all, upd_all = ys
+        # same global row order as the sequential in-scan scatters, and
+        # XLA's TPU scatter combines duplicate rows in index order, so the
+        # result is bitwise identical to the scan-scatter path
+        acc = acc.at[rows_all.reshape(-1)].add(
+            upd_all.reshape(-1, cfg.pt * d + 1), mode="drop")
     return agg.fold(acc, cfg.pt, cfg.ps, shape)
 
 
