@@ -177,17 +177,20 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
 
     # row shift a: rotate rows left by a (shift hdpad-a ≡ -a mod hdpad) and
     # keep the top hpad rows = original rows a..a+hpad-1 (never wraps:
-    # a + hpad <= (w_s-1) + hpad <= hdpad by construction)
+    # a + hpad <= (w_s-1) + hpad <= hdpad by construction).  Planes live in
+    # VMEM as bf16 (the matmuls are bf16 anyway; f32 planes at 1080p pushed
+    # the kernel 92 MB past the 128 MB VMEM budget) and the difference is
+    # squared in f32.
     hdpad = vd_s.shape[1]
     vdr = [pltpu.roll(vd_s[p], hdpad - a, axis=0)[0:hpad, :]
            for p in range(ptc)]
     vqv = [vq_s[p] for p in range(ptc)]
     sy_arr = sy_s[...]
     for b in range(w_s):                                      # lane shift
-        diff = vqv[0] - vdr[0][:, b:b + wpad]
+        diff = (vqv[0] - vdr[0][:, b:b + wpad]).astype(jnp.float32)
         sq = diff * diff
         for p in range(1, ptc):
-            d2 = vqv[p] - vdr[p][:, b:b + wpad]
+            d2 = (vqv[p] - vdr[p][:, b:b + wpad]).astype(jnp.float32)
             sq = sq + d2 * d2
         ybx = jnp.dot(sy_arr, sq.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
@@ -227,38 +230,48 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
     hdpad = _rup(hpad + w_s - 1, 8)
     wdpad = _rup(wpad + w_s - 1, 128)
 
-    vq_p = jnp.pad(vq, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w)))
+    vq_p = jnp.pad(vq, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w))
+                   ).astype(jnp.bfloat16)
     # candidate plane shifted by (-half, -half): vd_p[.., half+y, half+x] =
     # vd[.., y, x], zeros elsewhere (zero-padded OOB candidates match the
     # dense path's q2 + 0 - 0 semantics exactly: sum (vq - 0)^2 = q2)
     vd_p = jnp.pad(vd, ((0, 0), (0, 0),
                         (half, hdpad - h - half),
-                        (half, wdpad - w - half)))
+                        (half, wdpad - w - half))).astype(jnp.bfloat16)
 
     sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad))
     sx = jnp.asarray(build_col_select(qrow0, wp, step, ps, wpad))
 
-    kernel = functools.partial(
-        _kernel, w_s=w_s, step=step, gmax=gmax, ptc=ptc, hpad=hpad,
-        wpad=wpad, rowpad=rowpad, ncpad=ncpad)
-    out = pl.pallas_call(
-        kernel,
-        grid=(f_cnt, w_s),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
-        out_specs=pl.BlockSpec(
-            (1, w_s, rowpad, ncpad), lambda f, a: (f, a, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (f_cnt, w_s * w_s, rowpad, ncpad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((ptc, hpad, wpad), jnp.float32),
-            pltpu.VMEM((ptc, hdpad, wdpad), jnp.float32),
-            pltpu.VMEM((rowpad, hpad), jnp.bfloat16),
-            pltpu.VMEM((step, wpad, ncpad), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2 * ptc + 2,)),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(vq_p, vd_p, sy, sx)
+    # channel-plane chunking: sq sums over planes LINEARLY, so big-ptc
+    # stages (stage 1: pt*c_d = 6 planes) split into <=3-plane kernel calls
+    # whose outputs add — keeps the per-call VMEM scratch bounded (a single
+    # 6-plane 1080p call exceeded the 128 MB VMEM budget by 92 MB)
+    chunk = min(ptc, 3)
+    out = None
+    for p0 in range(0, ptc, chunk):
+        pc = min(chunk, ptc - p0)
+        kernel = functools.partial(
+            _kernel, w_s=w_s, step=step, gmax=gmax, ptc=pc, hpad=hpad,
+            wpad=wpad, rowpad=rowpad, ncpad=ncpad)
+        part = pl.pallas_call(
+            kernel,
+            grid=(f_cnt, w_s),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+            out_specs=pl.BlockSpec(
+                (1, w_s, rowpad, ncpad), lambda f, a: (f, a, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (f_cnt, w_s * w_s, rowpad, ncpad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((pc, hpad, wpad), jnp.bfloat16),
+                pltpu.VMEM((pc, hdpad, wdpad), jnp.bfloat16),
+                pltpu.VMEM((rowpad, hpad), jnp.bfloat16),
+                pltpu.VMEM((step, wpad, ncpad), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2 * pc + 2,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(vq_p[:, p0:p0 + pc], vd_p[:, p0:p0 + pc], sy, sx)
+        out = part if out is None else out + part
     return out
