@@ -1,8 +1,8 @@
-"""Lucas-Kanade flow estimator: recovers a known constant translation."""
+"""Flow estimators (TV-L1 + Lucas-Kanade): recover a known translation."""
 
 import numpy as np
 
-from vnlb_tpu.ops.flow import estimate_flows, lk_flow
+from vnlb_tpu.ops.flow import estimate_flows, lk_flow, tvl1_flow
 
 
 def _shifted_pair(dx, dy, seed=0, n=96):
@@ -23,6 +23,19 @@ def test_lk_recovers_translation():
     inner = flow[:, 16:-16, 16:-16]
     assert abs(inner[0].mean() - dx) < 0.3, inner[0].mean()
     assert abs(inner[1].mean() - dy) < 0.3, inner[1].mean()
+
+
+def test_tvl1_recovers_translation():
+    # the reference's flow algorithm (svnlb's C++ TV-L1); the jittable
+    # re-implementation must track a known shift at least as well as LK
+    dx, dy = 2, -1
+    f0, f1 = _shifted_pair(dx, dy)
+    flow = np.asarray(tvl1_flow(f0, f1, levels=4, iters=15))
+    inner = flow[:, 16:-16, 16:-16]
+    assert abs(inner[0].mean() - dx) < 0.25, inner[0].mean()
+    assert abs(inner[1].mean() - dy) < 0.25, inner[1].mean()
+    epe = np.hypot(inner[0] - dx, inner[1] - dy).mean()
+    assert epe < 0.5, epe
 
 
 def test_estimate_flows_layout():

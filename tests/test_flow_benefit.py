@@ -3,14 +3,14 @@
 The reference obtains flows from external C++ TV-L1
 (/root/reference/tests/test_gpu_sim_search.py:128 svnlb.swig.runPyFlow) and
 passes them to the flow-offset-aware search [N1].  This repo's in-house
-pyramidal Lucas-Kanade (ops/flow.estimate_flows) had no measured evidence
-that it actually helps; this test pins it: on a ~4 px/frame drift clip the
-temporal search window loses real matches without flow tracking, and LK
+estimators (ops/flow: TV-L1 default + pyramidal LK) must show measured
+evidence that they actually help: on a ~4 px/frame drift clip the temporal
+search window loses real matches without flow tracking, and estimated
 flows must recover a measurable PSNR gain in BOTH passes.
 
-Measured at the pinned settings (CPU, 2026-08-17): zero-flow basic/deno
-28.96/30.03 dB, flow-aware 29.17/30.28 dB (+0.22/+0.25) on frame-drift
-motion of mean |v| ~ 4 px.
+Measured at the pinned settings (CPU, 2026-08-18): zero-flow basic/deno
+28.52/29.81 dB; TV-L1 flows 28.99/30.31 (+0.48/+0.50); LK flows
+28.95/30.28 (+0.43/+0.47) on frame-drift motion of mean |v| ~ 3-4 px.
 """
 
 import numpy as np
