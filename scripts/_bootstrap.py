@@ -17,6 +17,14 @@ if _root not in sys.path:
 if (os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
         or os.environ.get("VNLB_FORCE_CPU")):
     os.environ.setdefault("VNLB_TPU_NO_CACHE", "1")
+    # The env's TPU plugin re-prepends itself to JAX_PLATFORMS at jax import
+    # time, so the env var alone does NOT force CPU — config.update does
+    # (same workaround as tests/conftest.py).  Without this, a CPU-forced
+    # script still initializes the remote TPU and can stall for minutes
+    # when the tunnel is degraded.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 else:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/vnlb_tpu_jax_cache")

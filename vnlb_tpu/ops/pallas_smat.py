@@ -147,7 +147,7 @@ def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
 
 def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
             vq_s, vd_s, sy_s, sx_s, sems, *, w_s, step, gmax,
-            ptc, hpad, wpad, rowpad, ncpad):
+            ptc, hpad, wpad, rowpad, ncpad, f32):
     """One grid step = one (frame, row-offset a); the frame's planes live in
     PERSISTENT VMEM scratch, DMA'd on the frame's first step only.  The row
     offset rides the sequential TPU grid (unrolling all 225 offsets in the
@@ -177,10 +177,11 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
 
     # row shift a: rotate rows left by a (shift hdpad-a ≡ -a mod hdpad) and
     # keep the top hpad rows = original rows a..a+hpad-1 (never wraps:
-    # a + hpad <= (w_s-1) + hpad <= hdpad by construction).  Planes live in
-    # VMEM as bf16 (the matmuls are bf16 anyway; f32 planes at 1080p pushed
-    # the kernel 92 MB past the 128 MB VMEM budget) and the difference is
-    # squared in f32.
+    # a + hpad <= (w_s-1) + hpad <= hdpad by construction).  Plane dtype:
+    # f32 when the frame fits the VMEM budget (exact pixel values — the
+    # bf16 plane quantization of 0..255 pixels costs ~-0.06 dB basic from
+    # near-tie swaps, docs/COMPARE.md), bf16 otherwise (f32 planes at 1080p
+    # pushed the kernel 92 MB past the 128 MB VMEM budget).
     hdpad = vd_s.shape[1]
     vdr = [pltpu.roll(vd_s[p], hdpad - a, axis=0)[0:hpad, :]
            for p in range(ptc)]
@@ -192,9 +193,12 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
         for p in range(1, ptc):
             d2 = (vqv[p] - vdr[p][:, b:b + wpad]).astype(jnp.float32)
             sq = sq + d2 * d2
-        ybx = jnp.dot(sy_arr, sq.astype(jnp.bfloat16),
+        # f32 mode: the 0/1 selection matmuls accumulate exact f32 box sums
+        # (Mosaic lowers f32 matmuls through multi-pass MXU; the kernel is
+        # not MXU-bound).  bf16 mode: one bf16 pass, ~1% distance rounding.
+        ybx = jnp.dot(sy_arr, sq if f32 else sq.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-        ybb = ybx.astype(jnp.bfloat16)
+        ybb = ybx if f32 else ybx.astype(jnp.bfloat16)
         for g in range(step):
             og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
                          preferred_element_type=jnp.float32)
@@ -230,29 +234,39 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
     hdpad = _rup(hpad + w_s - 1, 8)
     wdpad = _rup(wpad + w_s - 1, 128)
 
+    # plane dtype: f32 when the per-call VMEM scratch fits the budget (exact
+    # pixel values; the bf16 quantization of 0..255 pixels costs ~-0.06 dB
+    # basic from near-tie candidate swaps), bf16 for big frames (1080p)
+    chunk0 = min(ptc, 3)
+    scratch = (chunk0 * (hpad * wpad + hdpad * wdpad)      # planes
+               + rowpad * hpad + step * wpad * ncpad)      # sy + sx
+    out_blk = 2 * w_s * rowpad * ncpad * 4                 # double-buffered
+    f32 = (scratch * 4 + out_blk) <= 100 * 1024 * 1024
+    pdty = jnp.float32 if f32 else jnp.bfloat16
+
     vq_p = jnp.pad(vq, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w))
-                   ).astype(jnp.bfloat16)
+                   ).astype(pdty)
     # candidate plane shifted by (-half, -half): vd_p[.., half+y, half+x] =
     # vd[.., y, x], zeros elsewhere (zero-padded OOB candidates match the
     # dense path's q2 + 0 - 0 semantics exactly: sum (vq - 0)^2 = q2)
     vd_p = jnp.pad(vd, ((0, 0), (0, 0),
                         (half, hdpad - h - half),
-                        (half, wdpad - w - half))).astype(jnp.bfloat16)
+                        (half, wdpad - w - half))).astype(pdty)
 
-    sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad))
-    sx = jnp.asarray(build_col_select(qrow0, wp, step, ps, wpad))
+    sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad)).astype(pdty)
+    sx = jnp.asarray(build_col_select(qrow0, wp, step, ps, wpad)).astype(pdty)
 
     # channel-plane chunking: sq sums over planes LINEARLY, so big-ptc
     # stages (stage 1: pt*c_d = 6 planes) split into <=3-plane kernel calls
     # whose outputs add — keeps the per-call VMEM scratch bounded (a single
     # 6-plane 1080p call exceeded the 128 MB VMEM budget by 92 MB)
-    chunk = min(ptc, 3)
+    chunk = chunk0
     out = None
     for p0 in range(0, ptc, chunk):
         pc = min(chunk, ptc - p0)
         kernel = functools.partial(
             _kernel, w_s=w_s, step=step, gmax=gmax, ptc=pc, hpad=hpad,
-            wpad=wpad, rowpad=rowpad, ncpad=ncpad)
+            wpad=wpad, rowpad=rowpad, ncpad=ncpad, f32=f32)
         part = pl.pallas_call(
             kernel,
             grid=(f_cnt, w_s),
@@ -263,10 +277,10 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
             out_shape=jax.ShapeDtypeStruct(
                 (f_cnt, w_s * w_s, rowpad, ncpad), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((pc, hpad, wpad), jnp.bfloat16),
-                pltpu.VMEM((pc, hdpad, wdpad), jnp.bfloat16),
-                pltpu.VMEM((rowpad, hpad), jnp.bfloat16),
-                pltpu.VMEM((step, wpad, ncpad), jnp.bfloat16),
+                pltpu.VMEM((pc, hpad, wpad), pdty),
+                pltpu.VMEM((pc, hdpad, wdpad), pdty),
+                pltpu.VMEM((rowpad, hpad), pdty),
+                pltpu.VMEM((step, wpad, ncpad), pdty),
                 pltpu.SemaphoreType.DMA((2 * pc + 2,)),
             ],
             interpret=interpret,
