@@ -45,6 +45,7 @@ built in numpy at trace time.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -147,7 +148,7 @@ def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
 
 def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
             vq_s, vd_s, sy_s, sx_s, sems, *, w_s, step, gmax,
-            ptc, hpad, wpad, rowpad, ncpad, f32):
+            ptc, hpad, wpad, rowpad, ncpad, mm_f32):
     """One grid step = one (frame, row-offset a); the frame's planes live in
     PERSISTENT VMEM scratch, DMA'd on the frame's first step only.  The row
     offset rides the sequential TPU grid (unrolling all 225 offsets in the
@@ -193,12 +194,16 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
         for p in range(1, ptc):
             d2 = (vqv[p] - vdr[p][:, b:b + wpad]).astype(jnp.float32)
             sq = sq + d2 * d2
-        # f32 mode: the 0/1 selection matmuls accumulate exact f32 box sums
-        # (Mosaic lowers f32 matmuls through multi-pass MXU; the kernel is
-        # not MXU-bound).  bf16 mode: one bf16 pass, ~1% distance rounding.
-        ybx = jnp.dot(sy_arr, sq if f32 else sq.astype(jnp.bfloat16),
+        # Matmul precision is independent of the plane dtype: sq is an
+        # exact f32 squared difference either way (when the planes are
+        # f32); casting the NON-NEGATIVE box-sum terms to bf16 costs only
+        # ~0.4% relative on the summed distance — benign next to the bf16
+        # PLANE quantization, which corrupts small pixel differences with
+        # unbounded relative error.  f32 matmuls (mm_f32) lower through
+        # multi-pass MXU: exact box sums at ~3x the MXU cost.
+        ybx = jnp.dot(sy_arr, sq if mm_f32 else sq.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-        ybb = ybx if f32 else ybx.astype(jnp.bfloat16)
+        ybb = ybx if mm_f32 else ybx.astype(jnp.bfloat16)
         for g in range(step):
             og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
                          preferred_element_type=jnp.float32)
@@ -235,14 +240,21 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
     wdpad = _rup(wpad + w_s - 1, 128)
 
     # plane dtype: f32 when the per-call VMEM scratch fits the budget (exact
-    # pixel values; the bf16 quantization of 0..255 pixels costs ~-0.06 dB
-    # basic from near-tie candidate swaps), bf16 for big frames (1080p)
+    # pixel values; the bf16 quantization of 0..255 pixels corrupts SMALL
+    # pixel differences with unbounded relative error — measured ~-0.06 dB
+    # basic from near-tie candidate swaps), bf16 for big frames (1080p).
+    # Matmul dtype is independent (mm_f32, VNLB_SMAT_MM_F32=1): the 0/1
+    # selection matmuls consume the already-squared non-negative sq terms,
+    # where bf16 rounding is a benign ~0.4% on the distance.
+    mm_f32 = bool(int(os.environ.get("VNLB_SMAT_MM_F32", "0")))
     chunk0 = min(ptc, 3)
-    scratch = (chunk0 * (hpad * wpad + hdpad * wdpad)      # planes
-               + rowpad * hpad + step * wpad * ncpad)      # sy + sx
+    scratch = chunk0 * (hpad * wpad + hdpad * wdpad)       # planes
+    selsz = rowpad * hpad + step * wpad * ncpad            # sy + sx
     out_blk = 2 * w_s * rowpad * ncpad * 4                 # double-buffered
-    f32 = (scratch * 4 + out_blk) <= 100 * 1024 * 1024
+    f32 = (scratch * 4 + selsz * (4 if mm_f32 else 2)
+           + out_blk) <= 100 * 1024 * 1024
     pdty = jnp.float32 if f32 else jnp.bfloat16
+    mdty = jnp.float32 if mm_f32 else jnp.bfloat16
 
     vq_p = jnp.pad(vq, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w))
                    ).astype(pdty)
@@ -253,8 +265,8 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
                         (half, hdpad - h - half),
                         (half, wdpad - w - half))).astype(pdty)
 
-    sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad)).astype(pdty)
-    sx = jnp.asarray(build_col_select(qrow0, wp, step, ps, wpad)).astype(pdty)
+    sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad)).astype(mdty)
+    sx = jnp.asarray(build_col_select(qrow0, wp, step, ps, wpad)).astype(mdty)
 
     # channel-plane chunking: sq sums over planes LINEARLY, so big-ptc
     # stages (stage 1: pt*c_d = 6 planes) split into <=3-plane kernel calls
@@ -266,7 +278,7 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
         pc = min(chunk, ptc - p0)
         kernel = functools.partial(
             _kernel, w_s=w_s, step=step, gmax=gmax, ptc=pc, hpad=hpad,
-            wpad=wpad, rowpad=rowpad, ncpad=ncpad, f32=f32)
+            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32)
         part = pl.pallas_call(
             kernel,
             grid=(f_cnt, w_s),
@@ -279,8 +291,8 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
             scratch_shapes=[
                 pltpu.VMEM((pc, hpad, wpad), pdty),
                 pltpu.VMEM((pc, hdpad, wdpad), pdty),
-                pltpu.VMEM((rowpad, hpad), pdty),
-                pltpu.VMEM((step, wpad, ncpad), pdty),
+                pltpu.VMEM((rowpad, hpad), mdty),
+                pltpu.VMEM((step, wpad, ncpad), mdty),
                 pltpu.SemaphoreType.DMA((2 * pc + 2,)),
             ],
             interpret=interpret,
