@@ -68,8 +68,11 @@ def main():
     # OOB masking deltas only the 7-px border band; PSNR effect pinned by
     # tests/test_border_mode.py and visible in the psnr line below)
     border = os.environ.get("VNLB_BENCH_BORDER", "mask")
+    # topk: "exact" (one-shot), "approx" (lax.approx_max_k), "stream"
+    # (low-memory per-dt merge) — see ops/search_dense.exec_search_dense
+    topk = os.environ.get("VNLB_BENCH_TOPK", "exact")
     cfg = default_config(sigma, preset=preset, eig_method=eig_method,
-                         step_s=step_s, border_mode=border)
+                         step_s=step_s, border_mode=border, topk=topk)
 
     # warmup (compile)
     t0 = time.perf_counter()
