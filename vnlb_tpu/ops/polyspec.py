@@ -220,11 +220,12 @@ def poly_filter_fused(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
     def st(x):
         return x.astype(sdty)
 
-    # 3-pass fp32 covariance (HIGH): the fused series only needs the
-    # spectrum to ~bf16 accuracy (the gate is pre-smoothed to the node
-    # spacing anyway); HIGHEST's 6 passes double the cov bill for nothing
+    # 1-pass bf16-multiply covariance (DEFAULT): the fused series only
+    # needs the spectrum to ~bf16 accuracy (the gate is pre-smoothed to
+    # the node spacing anyway).  Measured in round 2: two-pass PSNR
+    # bit-identical on the pin clip vs HIGH's 3 passes, which were ~2 of
+    # the chain's ~13 matmul-units.
     a_cov = jnp.einsum("gkp,gkq->gpq", xc2, xc2,
-                       precision=jax.lax.Precision.HIGH,
                        preferred_element_type=jnp.float32) / k
     eye = jnp.eye(p, dtype=a_cov.dtype)
 
@@ -339,8 +340,8 @@ def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
         return jnp.einsum("gij,gjk->gik", st(a), st(b),
                           preferred_element_type=jnp.float32)
 
+    # 1-pass bf16-multiply covariance — see poly_filter_fused's note
     a_cov = jnp.einsum("gkp,gkq->gpq", xc2, xc2,
-                       precision=jax.lax.Precision.HIGH,
                        preferred_element_type=jnp.float32) / k
     eye = jnp.eye(p, dtype=a_cov.dtype)
 
