@@ -105,6 +105,60 @@ def test_poly_two_pass_psnr_delta_sigma_sweep(sigma):
     assert p_df > compute_psnr(noisy, clean) + 2.0
 
 
+def test_poly_gram_matches_left_route():
+    """K<p GRAM-domain econ evaluation vs the left-regime T_j route.
+
+    Both evaluate a Chebyshev fit of the same smoothed transfer (the gram
+    route fits one degree higher and applies it via exact polynomial
+    division — ops/polyspec._gram_maps), so outputs agree up to the fit
+    tail + bf16 storage rounding; and both must track exact eigh equally
+    well."""
+    from vnlb_tpu.ops.polyspec import poly_filter_econ
+
+    rng = np.random.default_rng(7)
+    g, k, p = 10, 60, 98
+    base = rng.normal(size=(g, 1, p)).astype(np.float32) * \
+        rng.uniform(2, 60, size=(g, 1, 1)).astype(np.float32)
+    xc2 = jnp.asarray(base + rng.normal(size=(g, k, p)).astype(np.float32)
+                      * 20.0)
+    xn2 = jnp.asarray(base + rng.normal(size=(g, k, p)).astype(np.float32)
+                      * 20.0)
+    # f32 storage isolates the structural difference (the one-degree fit
+    # tail): measured 1.9% max / 0.25% rms; bf16 storage adds ~2-6% max
+    # tail noise to BOTH routes equally (pinned end-to-end by the PSNR
+    # tests above)
+    cfg = default_config(20.0, preset="iphone").stage(1).replace(
+        poly_bf16=False)
+    y_g = np.asarray(poly_filter_econ(xc2, xn2, cfg))
+    y_l = np.asarray(poly_filter_econ(xc2, xn2,
+                                      cfg.replace(poly_gram=False)))
+    scale = np.abs(y_l).max()
+    assert np.abs(y_g - y_l).max() / scale < 0.03, \
+        np.abs(y_g - y_l).max() / scale
+    # unpacked gram route (odd G) agrees with the packed one
+    y_gu = np.asarray(poly_filter_econ(xc2[:9], xn2[:9], cfg))
+    assert np.abs(y_gu - y_g[:9]).max() / scale < 2e-3
+    # and the gram route must track exact eigh at least as well as the
+    # left route (it fits one degree higher): measured 0.0110 vs 0.0122
+    # rms on this data
+    from vnlb_tpu.ops import bayes as _b
+    lam, coeff, basis, dom = _b._spectral_filter(
+        xc2, cfg.replace(eig_method="xla"), min(cfg.rank, p))
+    assert dom == "gram"
+    rank = min(cfg.rank, p)
+    mu_r = jnp.maximum(lam[:, :rank], 0.0)
+    wv = jnp.where(mu_r > 1e-8, coeff / jnp.maximum(k * mu_r, 1e-10), 0.0)
+    mm = jnp.einsum("gkp,glp->gkl", xn2, xc2)
+    t1 = jnp.einsum("gkl,glr->gkr", mm, basis)
+    t2 = jnp.einsum("gkr,glr->gkl", t1 * wv[:, None, :], basis)
+    y_x = np.asarray(jnp.einsum("gkl,glp->gkp", t2, xc2))
+
+    def rms(a):
+        return np.sqrt(((a - y_x) ** 2).mean())
+
+    assert rms(y_g) <= rms(y_l) * 1.05, (rms(y_g), rms(y_l))
+
+
 @pytest.mark.parametrize("sigma", [10.0, 40.0])
 def test_poly_patch_filter_sigma_sweep(sigma):
     """Patch-level poly-vs-exact tracking at sigma extremes, both stages."""

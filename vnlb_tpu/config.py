@@ -151,6 +151,12 @@ class StageConfig:
                                     # on the 40x40 exact-eigh pin clip:
                                     # 16/20/24/28 all within +0.03 dB of
                                     # exact; presets run 16)
+    poly_gram: bool = True          # K < p regime: evaluate the econ chain
+                                    # in the K-dim GRAM domain (exact
+                                    # polynomial division of the fitted
+                                    # series, ops/polyspec._gram_maps) —
+                                    # K x K matrices instead of p x p, and
+                                    # 2K <= 128 packs two groups per tile
     poly_pack2: bool = True         # matrix-regime econ path: pack TWO
                                     # groups per block-diagonal matrix when
                                     # 2p <= 128 (the MXU is weight-load-

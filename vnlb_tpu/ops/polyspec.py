@@ -288,6 +288,49 @@ def _ps_split(deg: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _gram_maps(m: int, s: int, nodes: int):
+    """Static maps for the GRAM-domain econ route (K < p regime).
+
+    The route needs, per group, the econ-basis coefficients of
+    g_hat(x) := (f_hat(x) - f_hat(-1)) / (x + 1), where f_hat is the
+    degree-D (D = m*s) Chebyshev least-squares fit of the transfer values
+    at the shared nodes.  Because f_hat - f_hat(-1) has an EXACT root at
+    x = -1, the division is exact polynomial division of the FITTED
+    series — the transfer error stays f_hat's fit error, with none of the
+    lam_max/tau amplification that fitting f/lam directly would suffer
+    (the pole objection documented in the module docstring applies to
+    fitting the target f/lam, not to dividing the fitted polynomial).
+
+    Everything from node values to g_hat's econ coefficients is one
+    composed constant matrix.  Returns (gmap (nodes, m*s), v0 (nodes,)):
+      gamma_flat = fvals @ gmap ;  f0 = fvals @ v0.
+    """
+    d_deg = m * s                                   # f_hat degree
+    proj = _dct_matrix(d_deg, nodes).T              # (D+1, nodes): c = P f
+    w0 = np.array([(-1.0) ** j for j in range(d_deg + 1)])
+    e0 = np.zeros((d_deg + 1,))
+    e0[0] = 1.0
+    sub = np.eye(d_deg + 1) - np.outer(e0, w0)      # a = c - f0 e0
+    # L: cheb coeffs of (x+1) * T_j, j < D  ->  columns of (D+1, D)
+    lmat = np.zeros((d_deg + 1, d_deg))
+    for j in range(d_deg):
+        lmat[j, j] += 1.0                           # + T_j
+        if j == 0:
+            lmat[1, 0] += 1.0                       # x T_0 = T_1
+        else:
+            lmat[j + 1, j] += 0.5                   # x T_j = (T_{j+1}
+            lmat[j - 1, j] += 0.5                   #        + T_{j-1})/2
+    div = np.linalg.pinv(lmat)                      # (D, D+1): b = div a
+    xs = np.cos(np.pi * (np.arange(nodes) + 0.5) / nodes)
+    t2 = np.stack([np.cos(j * np.arccos(xs)) for j in range(d_deg)],
+                  axis=0)                           # (D, nodes): g at nodes
+    pphi = _ps_basis_pinv(m, s, nodes)              # (nodes, m*s)
+    gmap = (pphi.T @ t2.T @ div @ sub @ proj).T     # (nodes, m*s)
+    v0 = (w0 @ proj)                                # (nodes,)
+    return gmap.astype(np.float32), v0.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _ps_basis_pinv(m: int, s: int, nodes: int):
     """(nodes, m*s) pseudo-inverse-transpose: node values -> gamma[i,r]."""
     xs = np.cos(np.pi * (np.arange(nodes) + 0.5) / nodes)
@@ -340,6 +383,36 @@ def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
         return jnp.einsum("gij,gjk->gik", st(a), st(b),
                           preferred_element_type=jnp.float32)
 
+    def transfer_vals(lub):
+        """Smoothed gate x Wiener target at the per-group scaled nodes."""
+        xs = jnp.asarray(_cheb_nodes(nodes))
+        lam_i = (xs[None, :] + 1.0) * 0.5 * lub[:, None]
+        wg = 1.2 * (np.pi / deg) * jnp.sqrt(tau * lub)
+        gate = jax.nn.sigmoid((lam_i - tau) / (wg[:, None] / 4.4))
+        lam_s = jnp.maximum(lam_i - sb2, 0.0)
+        return gate * lam_s / (lam_s + s2)
+
+    if k < p and cfg.poly_gram:
+        # GRAM-domain route: the whole chain runs on K x K matrices (the
+        # group Gram) instead of p x p, via  Xn f(C) = f0 Xn +
+        # (Xn Xc^T) g(Xc Xc^T / K) Xc / K  with g the exact polynomial
+        # division (f - f0)/lam of the fitted series (see _gram_maps).
+        # The p x p covariance is never formed (tr C = tr Gram, and any
+        # SPD upper bound works for lub).  Stage 1 (K=60, p=98): ~7
+        # effective matmul ops per group vs ~11 98-dim ops on the
+        # left-regime route, because 2K <= 128 lets the Clenshaw chain
+        # pack two groups per MXU tile.
+        gram = jnp.einsum("gkp,glp->gkl", xc2, xc2,
+                          preferred_element_type=jnp.float32) / k
+        tr = jnp.einsum("gii->g", gram)
+        rowsum = jnp.max(jnp.sum(jnp.abs(gram), axis=2), axis=1)
+        lub = jnp.maximum(jnp.minimum(tr, rowsum), 1.5 * tau) * 1.02
+        fv = transfer_vals(lub)
+        gmap, v0 = _gram_maps(m, s, nodes)
+        gam_g = (fv @ jnp.asarray(gmap)).reshape(g, m, s)
+        f0 = fv @ jnp.asarray(v0)                              # (G,)
+        return _poly_econ_gram(xc2, xn2, gram, lub, gam_g, f0, m, s, cfg)
+
     # 1-pass bf16-multiply covariance — see poly_filter_fused's note
     a_cov = jnp.einsum("gkp,gkq->gpq", xc2, xc2,
                        preferred_element_type=jnp.float32) / k
@@ -348,14 +421,7 @@ def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
     tr = jnp.einsum("gii->g", a_cov)
     rowsum = jnp.max(jnp.sum(jnp.abs(a_cov), axis=2), axis=1)
     lub = jnp.maximum(jnp.minimum(tr, rowsum), 1.5 * tau) * 1.02
-
-    # per-group coefficients gamma (G, m, s) of the smoothed gate x Wiener
-    xs = jnp.asarray(_cheb_nodes(nodes))
-    lam_i = (xs[None, :] + 1.0) * 0.5 * lub[:, None]
-    wg = 1.2 * (np.pi / deg) * jnp.sqrt(tau * lub)
-    gate = jax.nn.sigmoid((lam_i - tau) / (wg[:, None] / 4.4))
-    lam_s = jnp.maximum(lam_i - sb2, 0.0)
-    fv = gate * lam_s / (lam_s + s2)
+    fv = transfer_vals(lub)
     gam = (fv @ jnp.asarray(_ps_basis_pinv(m, s, nodes))).reshape(g, m, s)
 
     ah = 2.0 * a_cov / lub[:, None, None] - eye
@@ -411,6 +477,85 @@ def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
         b_lo, b_hi = b_hi, b_new
     f_mat = v_mats[0] + mmm(b_hi, b_mat) - b_lo
     return lmm(xn2, f_mat)
+
+
+def _chain_mats(ahx, coef, m, s, mmm, eye):
+    """Shared T_s-substitution + Clenshaw matrix chain.
+
+    ahx: (G', q, q) normalized operand; coef(i, r) -> broadcastable
+    coefficient array for term T_i(T_s) * T_r.  Returns f(ahx) (G', q, q).
+    """
+    a2 = mmm(ahx, ahx)
+    if s == 4:
+        a4 = mmm(a2, a2)
+        b_mat = 8.0 * a4 - 8.0 * a2 + eye
+        t3 = mmm(4.0 * a2 - 3.0 * eye, ahx)
+        t_mats = [None, ahx, 2.0 * a2 - eye, t3]
+    elif s == 3:
+        b_mat = mmm(4.0 * a2 - 3.0 * eye, ahx)
+        t_mats = [None, ahx, 2.0 * a2 - eye]
+    elif s == 2:
+        b_mat = 2.0 * a2 - eye
+        t_mats = [None, ahx]
+    else:
+        raise NotImplementedError(f"ps split s={s}")
+
+    def t_of(r):
+        return jnp.broadcast_to(eye, ahx.shape) if r == 0 else t_mats[r]
+
+    v_mats = [sum(coef(i, r) * t_of(r) for r in range(s)) for i in range(m)]
+    b_hi = jnp.zeros_like(ahx)
+    b_lo = jnp.zeros_like(ahx)
+    for i in range(m - 1, 0, -1):
+        b_new = v_mats[i] + 2.0 * mmm(b_hi, b_mat) - b_lo
+        b_lo, b_hi = b_hi, b_new
+    return v_mats[0] + mmm(b_hi, b_mat) - b_lo
+
+
+def _poly_econ_gram(xc2, xn2, gram, lub, gam, f0, m, s, cfg):
+    """GRAM-domain econ evaluation (K < p): Xn f(C) = f0 Xn +
+    (Xn Xc^T) g(Gram) Xc / K, chain on K x K matrices, packed 2-per-tile
+    when 2K <= 128.  gam: (G, m, s) econ coefficients of g; f0: (G,)."""
+    g, k, p = xc2.shape
+    sdty = jnp.bfloat16 if cfg.poly_bf16 else jnp.float32
+
+    def st(x):
+        return x.astype(sdty)
+
+    def mmm(a, b):
+        return jnp.einsum("gij,gjk->gik", st(a), st(b),
+                          preferred_element_type=jnp.float32)
+
+    eye_k = jnp.eye(k, dtype=jnp.float32)
+    gh = 2.0 * gram / lub[:, None, None] - eye_k
+    mh = jnp.einsum("gkp,glp->gkl", xn2, xc2,
+                    preferred_element_type=jnp.float32)       # Xn Xc^T
+
+    if cfg.poly_pack2 and 2 * k <= 128 and g % 2 == 0 and g >= 2:
+        g2, k2 = g // 2, 2 * k
+        gh_p = _pack2_blockdiag(gh)
+        mh_p = _pack2_blockdiag(mh)
+        eye2 = jnp.eye(k2, dtype=jnp.float32)
+        # per-COLUMN coefficients: block b's columns carry group 2g+b's gam
+        cvec = jnp.repeat(gam.reshape(g2, 2, m, s), k, axis=1)
+        cvec = jnp.transpose(cvec, (0, 2, 3, 1))              # (G2, m, s, 2k)
+        g_mat = _chain_mats(gh_p, lambda i, r: cvec[:, i, r, None, :],
+                            m, s, mmm, eye2)
+        t_p = mmm(mh_p, g_mat)                                # block-diag
+        xc_st = xc2.reshape(g2, k2, p)
+        y = jnp.einsum("gij,gjp->gip", st(t_p), st(xc_st),
+                       preferred_element_type=jnp.float32)
+        y = y.reshape(g, k, p)
+    else:
+        g_mat = _chain_mats(gh, lambda i, r: gam[:, i, r, None, None],
+                            m, s, mmm, eye_k)
+        t_m = mmm(mh, g_mat)
+        y = jnp.einsum("gij,gjp->gip", st(t_m), st(xc2),
+                       preferred_element_type=jnp.float32)
+    # chain rule of the division variable: f - f0 = (x+1) g_hat(x) with
+    # x + 1 = 2 lam / lub, so g(lam) = (2/lub) g_hat(x); plus the /K of
+    # Xn C q(C) = Xn Xc^T q(Gram) Xc / K
+    return f0[:, None, None] * xn2 + y * (2.0 / (k * lub))[:, None, None]
 
 
 def _poly_econ_packed(xn2, ah, gam, m, s, cfg):

@@ -55,6 +55,15 @@ def bayes_flops(cfg: StageConfig, n_sites: int) -> float:
     g = n_sites * (1 if cfg.couple_channels else c)
     cov = 2.0 * k * p * p
     if cfg.eig_method == "poly":
+        if k < p and cfg.poly_gram:
+            # GRAM route: gram + Xn Xc^T + K-dim chain + apply
+            import math
+            deg = cfg.poly_deg_fused
+            s = min(4, max(2, int(round(math.sqrt(deg + 1)))))
+            m = -(-(deg + 1) // s)
+            n_kk = {4: 3, 3: 2, 2: 1}[s] + m + 1      # powers+clenshaw+t
+            chain = 3.0 * 2.0 * k * k * p + n_kk * 2.0 * k ** 3
+            return g * chain
         n_pp, n_kp = _econ_matmuls(cfg, k, p)
         chain = n_pp * 2.0 * p ** 3 + n_kp * 2.0 * k * p * p
     else:               # eigh ~ 10 p^3 + two projections
