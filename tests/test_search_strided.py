@@ -58,6 +58,47 @@ def test_strided_nonzero_phase_origin():
     np.testing.assert_array_equal(np.asarray(si), np.asarray(fi))
 
 
+def test_smat_kernel_mm_f32_interpret(monkeypatch):
+    """VNLB_SMAT_MM_F32=1 (exact f32 selection matmuls) stays lowerable
+    and matches the default bf16-matmul mode to ~bf16 rounding."""
+    import vnlb_tpu.ops.pallas_smat as sm
+
+    rng = np.random.default_rng(5)
+    ps, w_s, step = 7, 15, 6
+    video = rng.uniform(0, 255, (2, 1, 40, 44)).astype(np.float32)
+    vq = jnp.asarray(video)
+    qrow0 = (0, 1)
+    args = (vq, vq, qrow0, ps, w_s, step)
+    monkeypatch.setenv("VNLB_SMAT_MM_F32", "0")
+    a = np.asarray(sm.smat_distances_dt(*args, interpret=True))
+    monkeypatch.setenv("VNLB_SMAT_MM_F32", "1")
+    b = np.asarray(sm.smat_distances_dt(*args, interpret=True))
+    # compare only at valid lattice slots (other slots hold garbage):
+    # per-frame phase rows + the always-on first/last rows, and each row's
+    # column lattice (phase_w = (phase_h + k) % step, mask.py semantics)
+    hp, wp = 40 - ps + 1, 44 - ps + 1
+    _, _, rowpad, _, ncpad = sm.smat_layout(hp, wp, step)
+    site_list = []
+    for f, ph in enumerate(qrow0):
+        for y in sorted({0, hp - 1} | set(range(ph, hp, step))):
+            if y == hp - 1:
+                c = 0
+            elif (y % step) == ph:
+                c = (ph + (y - ph) // step) % step
+            else:
+                c = ph                           # first_h spare row
+            for x in sorted({0, wp - 1} | set(range(c, wp, step))):
+                site_list.append((f, y, x))
+    sites = jnp.asarray(site_list, jnp.int32)
+    rows = np.asarray(sm.site_rows_smat(sites, qrow0, step, hp, wp,
+                                        ncpad, rowpad))
+    af = a.transpose(0, 2, 3, 1).reshape(-1, w_s * w_s)[rows]
+    bf = b.transpose(0, 2, 3, 1).reshape(-1, w_s * w_s)[rows]
+    scale = np.abs(bf).max()
+    assert np.isfinite(bf).all()
+    assert np.abs(af - bf).max() / scale < 0.01
+
+
 def test_smat_kernel_matches_dense_interpret():
     """The Pallas smat kernel vs the dense XLA path (interpret mode).
 

@@ -212,10 +212,22 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
     # VMEM held — never addressed by site_rows_smat
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "ps", "w_s", "step", "qrow0", "interpret"))
 def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
                       interpret: bool = False):
+    """Distances at ALL lattice sites of every frame, one temporal offset.
+
+    Resolves the VNLB_SMAT_MM_F32 env knob OUTSIDE the jitted core (a
+    trace-time read would be frozen into the jit cache and ignore
+    in-process toggles)."""
+    mm_f32 = bool(int(os.environ.get("VNLB_SMAT_MM_F32", "0")))
+    return _smat_distances_jit(vq, vd, qrow0, ps, w_s, step, interpret,
+                               mm_f32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ps", "w_s", "step", "qrow0", "interpret", "mm_f32"))
+def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
+                        interpret: bool, mm_f32: bool):
     """Distances at ALL lattice sites of every frame, one temporal offset.
 
     vq/vd: (F, ptc, H, W) float32 query / candidate frame stacks (vd already
@@ -246,7 +258,6 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
     # Matmul dtype is independent (mm_f32, VNLB_SMAT_MM_F32=1): the 0/1
     # selection matmuls consume the already-squared non-negative sq terms,
     # where bf16 rounding is a benign ~0.4% on the distance.
-    mm_f32 = bool(int(os.environ.get("VNLB_SMAT_MM_F32", "0")))
     chunk0 = min(ptc, 3)
     scratch = chunk0 * (hpad * wpad + hdpad * wdpad)       # planes
     selsz = rowpad * hpad + step * wpad * ncpad            # sy + sx
