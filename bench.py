@@ -87,9 +87,10 @@ def main():
         mse = jnp.mean((jnp.asarray(x, jnp.float32) - jnp.asarray(clean)) ** 2)
         return float(10.0 * jnp.log10(255.0 ** 2 / mse))
 
+    p_basic, p_deno = dev_psnr(basic), dev_psnr(deno)
     log(f"[bench] psnr noisy={compute_psnr(noisy, clean):.2f} "
-        f"basic={dev_psnr(basic):.2f} "
-        f"deno={dev_psnr(deno):.2f} dB")
+        f"basic={p_basic:.2f} "
+        f"deno={p_deno:.2f} dB")
 
     # pre-transfer the input once: under tunnel degradation a per-rep 24 MB
     # host->device copy can stall for minutes and abort the bench; the copy
@@ -160,7 +161,9 @@ def main():
     print(json.dumps({"metric": "davis480p_fps", "value": round(fps, 4),
                       "unit": "frames/sec",
                       "vs_baseline": round(fps / ref_fps, 4),
-                      "work_density": f"stride{step_s}", **extra}))
+                      "work_density": f"stride{step_s}",
+                      "psnr_basic_db": round(p_basic, 3),
+                      "psnr_deno_db": round(p_deno, 3), **extra}))
 
 
 if __name__ == "__main__":
