@@ -122,9 +122,12 @@ class StageConfig:
                                     # (only ~1/step_s of rows hold queries)
                                     # | "full" = distances at every row
                                     # (arbitrary-site callers; verification)
-    cols_bf16: bool = False         # store patch columns in bf16 (halves
-                                    # gather/scatter traffic in the filter
-                                    # phase; ~0.4% patch quantization)
+    cols_bf16: bool = True          # store patch columns in bf16 (halves
+                                    # the column arena + gather traffic;
+                                    # patch pixels quantize ~0.2 RMS vs
+                                    # sigma>=10 noise — measured ZERO PSNR
+                                    # change at 3 decimals; patches upcast
+                                    # to f32 right after the gather)
     eig_method: str = "jacobi"      # "jacobi" | "xla" | "rational" | "poly"
     eig_sweeps: int = 8             # cyclic-Jacobi sweeps (fp32 converges ~6-8)
     gate_power: int = 1             # rational-gate sharpness (1 or 2)
