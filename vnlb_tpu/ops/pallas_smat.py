@@ -179,10 +179,8 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
     # row shift a: rotate rows left by a (shift hdpad-a ≡ -a mod hdpad) and
     # keep the top hpad rows = original rows a..a+hpad-1 (never wraps:
     # a + hpad <= (w_s-1) + hpad <= hdpad by construction).  Plane dtype:
-    # f32 when the frame fits the VMEM budget (exact pixel values — the
-    # bf16 plane quantization of 0..255 pixels costs ~-0.06 dB basic from
-    # near-tie swaps, docs/COMPARE.md), bf16 otherwise (f32 planes at 1080p
-    # pushed the kernel 92 MB past the 128 MB VMEM budget).
+    # f32 when the frame fits the VMEM budget — with the <=3-plane channel
+    # chunking that includes 1080p (55 MB scratch); bf16 only beyond that.
     hdpad = vd_s.shape[1]
     vdr = [pltpu.roll(vd_s[p], hdpad - a, axis=0)[0:hpad, :]
            for p in range(ptc)]
@@ -254,7 +252,9 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
     # plane dtype: f32 when the per-call VMEM scratch fits the budget (exact
     # pixel values; the bf16 quantization of 0..255 pixels corrupts SMALL
     # pixel differences with unbounded relative error — measured ~-0.06 dB
-    # basic from near-tie candidate swaps), bf16 for big frames (1080p).
+    # basic from near-tie candidate swaps).  With the <=3-plane chunking
+    # every production size through 1080p fits f32 (55 MB at 1080p
+    # stage 1); bf16 is the beyond-1080p fallback.
     # Matmul dtype is independent (mm_f32, VNLB_SMAT_MM_F32=1): the 0/1
     # selection matmuls consume the already-squared non-negative sq terms,
     # where bf16 rounding is a benign ~0.4% on the distance.
