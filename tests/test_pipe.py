@@ -32,6 +32,41 @@ def test_pipelined_equals_streaming():
     np.testing.assert_array_equal(d_p, d_s)
 
 
+def test_pipelined_halo_composition():
+    """PP x SP: each pass halo-SP sharded over its own 2-device mesh
+    (4 devices total = 2 pipeline stages x 2 H-strips) — the BASELINE
+    v5e-8 shape at test scale.  Must match the plain pipelined run up to
+    halo-SP fp reassociation (the test_halo closeness bar)."""
+    import jax
+
+    from vnlb_tpu.parallel.tiled import make_mesh
+
+    sigma = 20.0
+    clean = synthetic_video(8, 28, 56, seed=4)
+    noisy = add_noise(clean, sigma, seed=5)
+    cfg = _small_cfg(sigma)
+
+    devs = jax.devices()
+    assert len(devs) >= 4, "conftest provisions an 8-device CPU mesh"
+    m1 = make_mesh(axis="h", devices=devs[:2])
+    m2 = make_mesh(axis="h", devices=devs[2:4])
+
+    d_p, b_p, _ = denoise_pipelined(noisy, sigma, chunk=2, cfg=cfg)
+    d_h, b_h, _ = denoise_pipelined(noisy, sigma, chunk=2, cfg=cfg,
+                                    meshes=(m1, m2))
+    assert d_h.shape == noisy.shape
+    # halo fp reassociation swaps isolated near-tie candidates, which can
+    # move single pixels by ~1 (and pass 2 consumes the reassociated
+    # basic); the meaningful bars are aggregate: mean-relative + PSNR
+    from vnlb_tpu.utils.metrics import compute_psnr
+
+    mu = np.abs(np.asarray(b_h, np.float64)).mean()
+    assert np.abs(b_h - b_p).mean() / mu < 1e-3
+    assert np.abs(d_h - d_p).mean() / mu < 1e-3
+    assert abs(compute_psnr(b_h, clean) - compute_psnr(b_p, clean)) < 0.03
+    assert abs(compute_psnr(d_h, clean) - compute_psnr(d_p, clean)) < 0.03
+
+
 def test_pipelined_single_chunk():
     """Degenerate one-chunk video still works (lag > n_chunks)."""
     sigma = 20.0

@@ -51,7 +51,7 @@ def _windows(t_len: int, chunk: int, ctx: int):
 def denoise_pipelined(noisy, sigma: float, chunk: int = 12, flows=None,
                       preset: str = "iphone",
                       cfg: Optional[VnlbConfig] = None, devices=None,
-                      verbose: bool = False
+                      meshes=None, verbose: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Two-pass denoising with the passes pipelined across two devices.
 
@@ -59,8 +59,15 @@ def denoise_pipelined(noisy, sigma: float, chunk: int = 12, flows=None,
     two of ``jax.devices()`` (falls back to single-device overlap — still
     correct, JAX just serializes the streams — when only one exists).
 
+    ``meshes``: optional (mesh1, mesh2) pair of DISJOINT device meshes —
+    the PP x SP composition: each pass runs halo-SP sharded over ITS mesh
+    (parallel/halo.proc_nl_halo) while the two passes pipeline over
+    temporal chunks.  This is the BASELINE v5e-8 scale-out shape: 8 chips
+    = 2 pipeline stages x 4 H-strips.  Overrides ``devices``.
+
     Returns (deno, basic, seconds) as host numpy arrays; equals
-    ``denoise_streaming(noisy, sigma, chunk=chunk, ...)`` exactly.
+    ``denoise_streaming(noisy, sigma, chunk=chunk, ...)`` exactly
+    (to halo-SP fp reassociation when ``meshes`` is given).
     """
     import jax
     import jax.numpy as jnp
@@ -93,11 +100,20 @@ def denoise_pipelined(noisy, sigma: float, chunk: int = 12, flows=None,
     p1_pending = []                       # [(j, device_array)]
     p2_pending = []
 
+    if meshes is not None:
+        from .halo import proc_nl_halo
+
+        mesh1, mesh2 = meshes
+
     def dispatch_p1(j):
         start, stop, lo, hi = w1[j]
-        with jax.default_device(d0):
-            o = proc_nl(jnp.asarray(noisy[lo:hi]), None, None,
-                        fflow[lo:hi], bflow[lo:hi], s0, t_origin=lo)
+        if meshes is not None:
+            o = proc_nl_halo(noisy[lo:hi], None, fflow[lo:hi], bflow[lo:hi],
+                             s0, mesh1, t_origin=lo)
+        else:
+            with jax.default_device(d0):
+                o = proc_nl(jnp.asarray(noisy[lo:hi]), None, None,
+                            fflow[lo:hi], bflow[lo:hi], s0, t_origin=lo)
         p1_pending.append((j, o))
 
     def drain_p1():
@@ -113,9 +129,15 @@ def denoise_pipelined(noisy, sigma: float, chunk: int = 12, flows=None,
     def dispatch_p2(i):
         start, stop, lo, hi = w2[i]
         assert basic_final >= hi, (basic_final, hi)
-        with jax.default_device(d1):
-            o = proc_nl(jnp.asarray(noisy[lo:hi]), jnp.asarray(basic[lo:hi]),
-                        None, fflow[lo:hi], bflow[lo:hi], s1, t_origin=lo)
+        if meshes is not None:
+            o = proc_nl_halo(noisy[lo:hi], basic[lo:hi], fflow[lo:hi],
+                             bflow[lo:hi], s1, mesh2, t_origin=lo)
+        else:
+            with jax.default_device(d1):
+                o = proc_nl(jnp.asarray(noisy[lo:hi]),
+                            jnp.asarray(basic[lo:hi]),
+                            None, fflow[lo:hi], bflow[lo:hi], s1,
+                            t_origin=lo)
         p2_pending.append((i, o))
 
     def drain_p2():

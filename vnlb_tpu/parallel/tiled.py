@@ -31,8 +31,12 @@ from ..ops import agg, color
 from ..pipeline import accumulate, plan_sites, select_search_image
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "sites") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "sites",
+              devices=None) -> Mesh:
+    """1-D mesh over the first n devices, or over an explicit device list
+    (``devices=``) — the latter lets disjoint device groups form separate
+    meshes (e.g. pipeline-parallel passes each on their own halo mesh)."""
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
 
