@@ -31,15 +31,23 @@ conditioned; values differ from the dense path only in fp rounding, so the
 parity tests compare with tolerance + tie-aware index checks
 (tests/test_search_smat.py).
 
-Row layout ("phase-major"): the lattice's column phase advances by one per
-query row (phase_w = (phase_h + k) % step, mask.py:67), so query rows are
-grouped by k mod step — every row of a group shares one column-selection
-matrix, and each group is one (gmax, W) @ (W, nc) matmul.  The always-on
+Row layout ("c-major"): the lattice's column phase advances by one per
+query row (phase_w = (phase_h + k) % step, mask.py:67).  Query rows are
+grouped BY COLUMN PHASE — block c holds the rows whose column lattice has
+phase c — so the per-block column-selection matrices are the canonical
+per-phase constants, independent of the frame's row phase (the per-frame
+variation lives entirely in Sy, which is per-frame anyway).  The always-on
 border rows (frame rows 0 and hp-1, lattice first_h/last_h) ride two spare
-slots: row 0 shares group 0's column phase (phase_h + 0); row hp-1 uses
-column phase 0 (the lattice's last_h special case) = group (-phase_h) % step.
-All phases are static (qrow0 is a static tuple), so the Sy/Sx constants are
-built in numpy at trace time.
+slots: row 0 uses column phase phase_h (block phase_h); row hp-1 uses
+column phase 0 (block 0).  All phases are static (qrow0 is a static
+tuple), so the Sy/Sx constants are built in numpy at trace time.
+
+Epilogue variants (VNLB_SMAT_V2=1): block c's strided columns are the
+phase-0 canonical columns read at lanes shifted by c, so a static
+per-block lane rotation lets ONE shared (W, nc) matmul replace the step
+per-block matmuls (plus one phase-independent matmul for the two border
+columns) — 3 MXU ops per offset instead of 1+step.  Same values; kept
+behind a flag until the TPU lowering + speed are verified.
 """
 
 from __future__ import annotations
@@ -71,13 +79,13 @@ def smat_layout(hp: int, wp: int, step: int):
 
 
 def build_row_select(qrow0, hp: int, step: int, ps: int, hpad: int):
-    """(F, rowpad, hpad) bf16 0/1: phase-major y-box-sum selection rows.
+    """(F, rowpad, hpad) bf16 0/1: c-major y-box-sum selection rows.
 
     The k-th strided row of frame f is frame row qrow0[f] + k*step; it
-    lands in group g = k % step, slot j = k // step (so each group's rows
-    share one column phase).  Spare slots: gmax-2 of group 0 = frame row 0
-    (first_h, column phase phase_h like group 0); gmax-1 of group
-    (-ph) % step = frame row hp-1 (last_h, column phase 0)."""
+    lands in block c = (qrow0[f] + k) % step (its COLUMN phase), slot
+    j = k // step.  Spare slots: gmax-2 of block phase_h = frame row 0
+    (first_h, column phase phase_h); gmax-1 of block 0 = frame row hp-1
+    (last_h, column phase 0)."""
     gmax, rows_pm, rowpad, _, _ = smat_layout(hp, step, step)
     f_cnt = len(qrow0)
     sy = np.zeros((f_cnt, rowpad, hpad), np.float32)
@@ -86,20 +94,19 @@ def build_row_select(qrow0, hp: int, step: int, ps: int, hpad: int):
         nq = (hp - 1 - ph) // step + 1
         for k in range(nq):
             y = ph + k * step
-            g, j = k % step, k // step
+            g, j = (ph + k) % step, k // step
             sy[f, g * gmax + j, y:y + ps] = 1.0
-        sy[f, 0 * gmax + (gmax - 2), 0:ps] = 1.0              # first_h row
-        ge = (-ph) % step
-        sy[f, ge * gmax + (gmax - 1), hp - 1:hp - 1 + ps] = 1.0  # last_h row
+        sy[f, ph * gmax + (gmax - 2), 0:ps] = 1.0             # first_h row
+        sy[f, 0 * gmax + (gmax - 1), hp - 1:hp - 1 + ps] = 1.0  # last_h row
     return sy.astype(jnp.bfloat16)
 
 
-def build_col_select(qrow0, wp: int, step: int, ps: int, wpad: int):
-    """(F, step, wpad, ncpad) bf16 0/1: per-group x-box-sum + column select.
+def build_col_select(wp: int, step: int, ps: int, wpad: int):
+    """(step, wpad, ncpad) bf16 0/1: canonical per-phase x-box-sum + select.
 
-    Canonical phase-c matrix: slot 0 sums cols [0, ps); slot 1 sums
-    [wp-1, wp-1+ps); slot 2+m sums [c + m*step, +ps).  Frame f's group g
-    uses phase (qrow0[f] + g) % step."""
+    Phase-c matrix: slot 0 sums cols [0, ps); slot 1 sums [wp-1, wp-1+ps);
+    slot 2+m sums [c + m*step, +ps).  With the c-major row layout, block c
+    always uses phase c — no per-frame variation."""
     _, _, _, nc, ncpad = smat_layout(10**9, wp, step)
     canon = np.zeros((step, wpad, ncpad), np.float32)
     for c in range(step):
@@ -109,12 +116,21 @@ def build_col_select(qrow0, wp: int, step: int, ps: int, wpad: int):
         for m in range(m_cnt):
             x = c + m * step
             canon[c, x:x + ps, 2 + m] = 1.0
-    f_cnt = len(qrow0)
-    sx = np.empty((f_cnt, step, wpad, ncpad), np.float32)
-    for f, ph in enumerate(qrow0):
-        for g in range(step):
-            sx[f, g] = canon[(int(ph) + g) % step]
-    return sx.astype(jnp.bfloat16)
+    return canon.astype(jnp.bfloat16)
+
+
+def build_col_select_v2(wp: int, step: int, ps: int, wpad: int):
+    """(2, wpad, ncpad) 0/1 for the shared-matmul epilogue: [0] = phase-0
+    strided columns only (block c reads it at lanes rotated left by c);
+    [1] = the two phase-independent border columns (slots 0 and 1)."""
+    _, _, _, nc, ncpad = smat_layout(10**9, wp, step)
+    out = np.zeros((2, wpad, ncpad), np.float32)
+    m_cnt0 = (wp - 1) // step + 1
+    for m in range(m_cnt0):
+        out[0, m * step:m * step + ps, 2 + m] = 1.0
+    out[1, 0:ps, 0] = 1.0
+    out[1, wp - 1:wp - 1 + ps, 1] = 1.0
+    return out.astype(jnp.bfloat16)
 
 
 def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
@@ -131,10 +147,10 @@ def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
     is_last = ys == hp - 1
     on_row = ((ys % step) == ph) & ~is_last
     k = jnp.where(on_row, (ys - ph) // step, 0)
-    g = k % step
+    g = (ph + k) % step                       # block = column phase
     row_main = g * gmax + k // step
-    row_e0 = 0 * gmax + (gmax - 2)
-    row_e1 = ((-ph) % step) * gmax + (gmax - 1)
+    row_e0 = ph * gmax + (gmax - 2)           # first_h: block phase_h
+    row_e1 = 0 * gmax + (gmax - 1)            # last_h: block 0
     row_pm = jnp.where(is_last, row_e1,
                        jnp.where(on_row, row_main, row_e0))
 
@@ -148,7 +164,7 @@ def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
 
 def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
             vq_s, vd_s, sy_s, sx_s, sems, *, w_s, step, gmax,
-            ptc, hpad, wpad, rowpad, ncpad, mm_f32):
+            ptc, hpad, wpad, rowpad, ncpad, mm_f32, v2):
     """One grid step = one (frame, row-offset a); the frame's planes live in
     PERSISTENT VMEM scratch, DMA'd on the frame's first step only.  The row
     offset rides the sequential TPU grid (unrolling all 225 offsets in the
@@ -170,7 +186,7 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
         copies.append(pltpu.make_async_copy(
             sy_hbm.at[f], sy_s, sems.at[2 * ptc]))
         copies.append(pltpu.make_async_copy(
-            sx_hbm.at[f], sx_s, sems.at[2 * ptc + 1]))
+            sx_hbm, sx_s, sems.at[2 * ptc + 1]))
         for cp in copies:
             cp.start()
         for cp in copies:
@@ -202,10 +218,28 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
         ybx = jnp.dot(sy_arr, sq if mm_f32 else sq.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
         ybb = ybx if mm_f32 else ybx.astype(jnp.bfloat16)
-        for g in range(step):
-            og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
-                         preferred_element_type=jnp.float32)
-            out_ref[0, b, g * gmax:(g + 1) * gmax, :] = og
+        if v2:
+            # shared-matmul epilogue: block c's strided columns are the
+            # phase-0 canonical columns at lanes rotated left by c, so one
+            # (rowpad, wpad)@(wpad, ncpad) matmul covers every block, plus
+            # one for the two phase-independent border columns — 2 MXU ops
+            # instead of `step` per offset
+            zp = []
+            for g in range(step):
+                blk = ybb[g * gmax:(g + 1) * gmax]
+                zp.append(blk if g == 0
+                          else pltpu.roll(blk, wpad - g, axis=1))
+            if rowpad > step * gmax:
+                zp.append(ybb[step * gmax:rowpad])
+            z = jnp.concatenate(zp, axis=0)
+            og = jnp.dot(z, sx_s[0], preferred_element_type=jnp.float32) \
+                + jnp.dot(ybb, sx_s[1], preferred_element_type=jnp.float32)
+            out_ref[0, b, :, :] = og
+        else:
+            for g in range(step):
+                og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
+                             preferred_element_type=jnp.float32)
+                out_ref[0, b, g * gmax:(g + 1) * gmax, :] = og
     # rows beyond step*gmax (the <=7 rowpad filler rows) stay whatever
     # VMEM held — never addressed by site_rows_smat
 
@@ -214,18 +248,19 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
                       interpret: bool = False):
     """Distances at ALL lattice sites of every frame, one temporal offset.
 
-    Resolves the VNLB_SMAT_MM_F32 env knob OUTSIDE the jitted core (a
-    trace-time read would be frozen into the jit cache and ignore
-    in-process toggles)."""
+    Resolves the VNLB_SMAT_MM_F32 / VNLB_SMAT_V2 env knobs OUTSIDE the
+    jitted core (a trace-time read would be frozen into the jit cache and
+    ignore in-process toggles)."""
     mm_f32 = bool(int(os.environ.get("VNLB_SMAT_MM_F32", "0")))
+    v2 = bool(int(os.environ.get("VNLB_SMAT_V2", "0")))
     return _smat_distances_jit(vq, vd, qrow0, ps, w_s, step, interpret,
-                               mm_f32)
+                               mm_f32, v2)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ps", "w_s", "step", "qrow0", "interpret", "mm_f32"))
+    "ps", "w_s", "step", "qrow0", "interpret", "mm_f32", "v2"))
 def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
-                        interpret: bool, mm_f32: bool):
+                        interpret: bool, mm_f32: bool, v2: bool):
     """Distances at ALL lattice sites of every frame, one temporal offset.
 
     vq/vd: (F, ptc, H, W) float32 query / candidate frame stacks (vd already
@@ -258,9 +293,10 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
     # Matmul dtype is independent (mm_f32, VNLB_SMAT_MM_F32=1): the 0/1
     # selection matmuls consume the already-squared non-negative sq terms,
     # where bf16 rounding is a benign ~0.4% on the distance.
+    n_sx = 2 if v2 else step
     chunk0 = min(ptc, 3)
     scratch = chunk0 * (hpad * wpad + hdpad * wdpad)       # planes
-    selsz = rowpad * hpad + step * wpad * ncpad            # sy + sx
+    selsz = rowpad * hpad + n_sx * wpad * ncpad            # sy + sx
     out_blk = 2 * w_s * rowpad * ncpad * 4                 # double-buffered
     f32 = (scratch * 4 + selsz * (4 if mm_f32 else 2)
            + out_blk) <= 100 * 1024 * 1024
@@ -277,7 +313,8 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
                         (half, wdpad - w - half))).astype(pdty)
 
     sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad)).astype(mdty)
-    sx = jnp.asarray(build_col_select(qrow0, wp, step, ps, wpad)).astype(mdty)
+    sx = jnp.asarray((build_col_select_v2 if v2 else build_col_select)(
+        wp, step, ps, wpad)).astype(mdty)
 
     # channel-plane chunking: sq sums over planes LINEARLY, so big-ptc
     # stages (stage 1: pt*c_d = 6 planes) split into <=3-plane kernel calls
@@ -289,7 +326,7 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
         pc = min(chunk, ptc - p0)
         kernel = functools.partial(
             _kernel, w_s=w_s, step=step, gmax=gmax, ptc=pc, hpad=hpad,
-            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32)
+            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32, v2=v2)
         part = pl.pallas_call(
             kernel,
             grid=(f_cnt, w_s),
@@ -303,7 +340,7 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
                 pltpu.VMEM((pc, hpad, wpad), pdty),
                 pltpu.VMEM((pc, hdpad, wdpad), pdty),
                 pltpu.VMEM((rowpad, hpad), mdty),
-                pltpu.VMEM((step, wpad, ncpad), mdty),
+                pltpu.VMEM((n_sx, wpad, ncpad), mdty),
                 pltpu.SemaphoreType.DMA((2 * pc + 2,)),
             ],
             interpret=interpret,

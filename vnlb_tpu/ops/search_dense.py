@@ -136,21 +136,21 @@ def _smat_sel_indices(qrow0, hp: int, wp: int, step: int) -> np.ndarray:
     for f, ph0 in enumerate(qrow0):
         ph = int(ph0) % step
         for row in range(rows_pm):
-            g, j = row // gmax, row % gmax
-            if j == gmax - 2:                     # first_h spare (group 0)
-                if g != 0:
+            g, j = row // gmax, row % gmax        # block g = column phase
+            if j == gmax - 2:                     # first_h spare (block ph)
+                if g != ph:
                     continue
                 y, c = 0, ph
-            elif j == gmax - 1:                   # last_h spare
-                if g != (-ph) % step:
+            elif j == gmax - 1:                   # last_h spare (block 0)
+                if g != 0:
                     continue
                 y, c = hp - 1, 0
             else:
-                k = g + j * step
+                k = (g - ph) % step + j * step
                 y = ph + k * step
                 if y > hp - 1:
                     continue
-                c = (ph + k) % step
+                c = g
             cols = np.zeros((ncpad,), np.int64)
             cols[1] = wp - 1
             m_cnt = (wp - 1 - c) // step + 1
