@@ -97,3 +97,30 @@ def fill_patches_cols(cols_flat: jnp.ndarray, rows: jnp.ndarray,
     else:
         out = jnp.take(cols_flat, rows.reshape(-1), axis=0)[:, :d]
     return out.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)
+
+
+def cols_fuse_pt(cols_flat: jnp.ndarray, pt: int, hpwp: int) -> jnp.ndarray:
+    """(N, D) -> (N, pt*D): row r additionally carries rows r + j*hpwp
+    (the SAME patch corner in the next pt-1 frames), so a pt-frame patch
+    becomes ONE row gather instead of pt — XLA's TPU take is ~per-row
+    cost, so halving the row count (pt=2) halves the gather bill for the
+    price of a pt x larger (dense-built) arena.  Rows whose shifted source
+    runs past the last frame are never addressed (inds_to_rows clips the
+    base frame to T-pt)."""
+    if pt == 1:
+        return cols_flat
+    parts = [cols_flat]
+    for j in range(1, pt):
+        parts.append(jnp.roll(cols_flat, -j * hpwp, axis=0))
+    return jnp.concatenate(parts, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("pt", "ps", "c"))
+def fill_patches_cols_fused(cols_pt: jnp.ndarray, rows_base: jnp.ndarray,
+                            pt: int, ps: int, c: int) -> jnp.ndarray:
+    """fill_patches_cols on a pt-fused arena: rows_base (B, K) plane-0 row
+    indices -> (B, K, pt, C, ps, ps) float32."""
+    b, k = rows_base.shape
+    d = c * ps * ps
+    out = jnp.take(cols_pt, rows_base.reshape(-1), axis=0)[:, :pt * d]
+    return out.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)

@@ -98,11 +98,19 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         dense_search_fn, y_bounds, search_ctx, coarse_global, qrow0)
 
     cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
-    cols_noisy, _ = gather.cols_rows(
-        gather.im2col(noisy_yuv, cfg.ps).astype(cdty))
-    cols_basic = (gather.cols_rows(
-        gather.im2col(basic_yuv, cfg.ps).astype(cdty))[0]
-        if cfg.step == 1 else None)
+    # pt-fused arenas: a pt-frame patch is ONE row gather instead of pt
+    # (gather.cols_fuse_pt) for a pt x bigger arena; skip the fusion when
+    # the arena would not comfortably fit HBM (long 1080p streaming
+    # windows), where the extra rows are cheaper than the memory
+    fuse_pt = (cfg.pt > 1 and t_len * hp * wp * cfg.pt * d
+               * (2 if cfg.cols_bf16 else 4) <= int(3e9))
+
+    def build_cols(img_yuv):
+        cols = gather.cols_rows(gather.im2col(img_yuv, cfg.ps).astype(cdty))[0]
+        return gather.cols_fuse_pt(cols, cfg.pt, hp * wp) if fuse_pt else cols
+
+    cols_noisy = build_cols(noisy_yuv)
+    cols_basic = build_cols(basic_yuv) if cfg.step == 1 else None
 
     # pt*D patch lanes + 1 fused weight-count lane (see agg.agg_rows)
     acc0 = jnp.zeros((t_len * hp * wp, cfg.pt * d + 1), jnp.float32)
@@ -130,9 +138,18 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         valid, inds, vals = xs
         rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
 
-        pnoisy = gather.fill_patches_cols(cols_noisy, rows, cfg.pt, cfg.ps, c)
-        pbasic = (gather.fill_patches_cols(cols_basic, rows, cfg.pt, cfg.ps, c)
-                  if cfg.step == 1 else None)
+        if fuse_pt:
+            pnoisy = gather.fill_patches_cols_fused(
+                cols_noisy, rows[:, :, 0], cfg.pt, cfg.ps, c)
+            pbasic = (gather.fill_patches_cols_fused(
+                cols_basic, rows[:, :, 0], cfg.pt, cfg.ps, c)
+                if cfg.step == 1 else None)
+        else:
+            pnoisy = gather.fill_patches_cols(cols_noisy, rows,
+                                              cfg.pt, cfg.ps, c)
+            pbasic = (gather.fill_patches_cols(cols_basic, rows,
+                                               cfg.pt, cfg.ps, c)
+                      if cfg.step == 1 else None)
 
         if cfg.deno == "bayes":
             flat_flags = (flat.flat_areas(pnoisy, cfg.gamma, cfg.sigma2)
