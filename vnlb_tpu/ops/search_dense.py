@@ -310,18 +310,10 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
                | (cx_all < 0) | (cx_all > w - ps))
         oob = oob.reshape(s_cnt, w_s * w_s)
 
-    def plane(dt, lvl0_pre=None):
-        """Per-dt candidate distances (S, ws2), +inf-masked.
-
-        ``lvl0_pre``: optional precomputed level-0 term (the one-take
-        path gathers ALL dt planes with a single row take — XLA's TPU
-        take is ~per-row cost, so S rows once beat S rows x n_dt times).
-        """
-        cand = (jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
-                if lvl0_pre is None else lvl0_pre)
+    def plane(dt):
+        """Per-dt candidate distances (S, ws2), +inf-masked."""
+        cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
         for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns)):
-            if lvl == 0 and lvl0_pre is not None:
-                continue
             if lvl == 0 and qrow0 is not None:
                 buf = fn(dt)                               # (F, ws2, RT, W')
                 flat = jnp.transpose(buf, (0, 2, 3, 1)).reshape(-1,
@@ -376,30 +368,56 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
                 run_s = jnp.take_along_axis(mc, sel_p, axis=1)
         vals, sel = run_v, run_s
     else:
-        # ONE-TAKE level 0: stack every dt's strided planes along lanes and
-        # row-gather each site ONCE (S rows) instead of once per dt
-        # (S x n_dt rows) — the take is ~per-row cost on TPU.  Values and
-        # add order are bit-identical to the per-dt path.  Gated on the
-        # stacked buffer size (big streaming windows fall back).
-        lvl0_parts = None
-        if qrow0 is not None:
-            n_dt_eff = dt_hi - dt_lo + 1
-            _, _, rowpad0, _, ncpad0 = smat_layout(
-                h - ps + 1, w - ps + 1, cfg.step_s)
-            big_bytes = (t_len - pt + 1) * rowpad0 * ncpad0 \
-                * n_dt_eff * ws2 * 4
-            if big_bytes <= int(3e9):
-                bufs = [per_dt_fns[0](dt)
-                        for dt in range(dt_lo, dt_hi + 1)]
-                big = jnp.concatenate(
-                    [jnp.transpose(b, (0, 2, 3, 1)) for b in bufs],
-                    axis=-1)                       # (F, RT, NC, n_dt*ws2)
-                flat0 = big.reshape(-1, n_dt_eff * ws2)
-                all0 = jnp.take(flat0, rows_strided, axis=0) / norm
-                lvl0_parts = [all0[:, i * ws2:(i + 1) * ws2]
-                              for i in range(n_dt_eff)]
-        all_vals = [plane(dt, None if lvl0_parts is None else lvl0_parts[di])
-                    for di, dt in enumerate(range(dt_lo, dt_hi + 1))]
+        # CHUNKED ONE-TAKE per level: stack dt planes along lanes and
+        # row-gather each site once per chunk instead of once per dt —
+        # XLA's TPU take is ~per-row cost, so row COUNT is the bill
+        # (level 0: 1 take instead of n_dt; coarse levels: chunk size set
+        # by a stacked-buffer memory gate).  Per-element arithmetic and
+        # add order are bit-identical to the per-dt formulation.
+        n_dt_eff = dt_hi - dt_lo + 1
+
+        def level_parts(lvl, v, fn):
+            """[per-dt (S, ws2)] contributions of one pyramid level."""
+            lh, lw = v.shape[2], v.shape[3]
+            hp_l, wp_l = lh - ps + 1, lw - ps + 1
+            if lvl == 0 and qrow0 is not None:
+                rows_l = rows_strided
+                pos = (t_len - pt + 1) * rowpad0 * ncpad0
+
+                def tobuf(b):                      # (F, ws2, RT, NC)
+                    return jnp.transpose(b, (0, 2, 3, 1)).reshape(pos, ws2)
+            else:
+                rows_l = _site_rows(sites, 1 << lvl, hp_l, wp_l, lh, lw,
+                                    ps, half)
+                pos = (t_len - pt + 1) * hp_l * wp_l
+
+                def tobuf(b):                      # (ws2, F, H', W')
+                    return jnp.transpose(b, (1, 2, 3, 0)).reshape(pos, ws2)
+
+            q = max(1, min(n_dt_eff, int(3e9) // max(pos * ws2 * 4, 1)))
+            parts = []
+            for c0 in range(dt_lo, dt_hi + 1, q):
+                dts_c = list(range(c0, min(c0 + q, dt_hi + 1)))
+                flat = jnp.concatenate([tobuf(fn(dt)) for dt in dts_c],
+                                       axis=1)
+                got = jnp.take(flat, rows_l, axis=0) / norm
+                parts.extend(got[:, i * ws2:(i + 1) * ws2]
+                             for i in range(len(dts_c)))
+            return parts
+
+        lvl_parts = [level_parts(lvl, v, fn)
+                     for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns))]
+        all_vals = []
+        for di, dt in enumerate(range(dt_lo, dt_hi + 1)):
+            cand = lvl_parts[0][di]
+            for lp in lvl_parts[1:]:
+                cand = cand + lp[di]
+            f = ts + dt
+            valid = (f >= 0) & (f <= t_len - pt)
+            cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
+            if oob is not None:
+                cand = jnp.where(oob, jnp.inf, cand)
+            all_vals.append(cand)
         # one-shot top-K over the full candidate axis (enumeration dt, dy,
         # dx — identical to the gather path, so ties break identically).
         # Candidate flat indices are DECODED from the selected positions
