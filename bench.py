@@ -59,6 +59,7 @@ def main():
     from vnlb_tpu.testing.data import add_noise, synthetic_video
     from vnlb_tpu.utils.metrics import compute_psnr
 
+    t_start = time.perf_counter()
     log(f"[bench] devices: {jax.devices()}")
     log(f"[bench] clip: t={t} {h}x{w} sigma={sigma} preset={preset}")
 
@@ -139,6 +140,15 @@ def main():
     # the headline so the JSON alone shows both (judge r2 request)
     extra = {}
     alt_step = 3 if step_s != 3 else 6
+    # the alt-density pass compiles its own kernels (~4 min cold each on
+    # the tunneled chip); if THIS config already compiled cold, skip the
+    # alt rather than risk the harness timeout — the headline JSON still
+    # carries the primary number
+    t_warm = time.perf_counter() - t_start
+    if t_warm > 900:
+        log(f"[bench] skipping alt density (elapsed {t_warm:.0f}s — cold "
+            f"compiles; re-run with a warm cache for both numbers)")
+        os.environ.setdefault("VNLB_BENCH_SKIP_ALT", "1")
     if not os.environ.get("VNLB_BENCH_SKIP_ALT"):
         cfg_alt = default_config(sigma, preset=preset, eig_method=eig_method,
                                  step_s=alt_step, border_mode=border)
