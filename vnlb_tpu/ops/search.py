@@ -154,18 +154,43 @@ def x_im2col(video, r):
     return seg.reshape(t * h * wp, c * r)
 
 
+def x_im2col_rfused(video, r):
+    """r-row-fused unfolding: row (t, y, x) holds the WHOLE r x r region
+    video[t, :, y:y+r, x:x+r], so a region gather is ONE row take instead
+    of r — XLA's TPU take is ~per-row cost (r x the arena memory; the
+    build is r dense shifted copies).  Wrapped bottom rows are only ever
+    addressed by clamped (invalid) regions whose values are masked."""
+    t, c, h, w = video.shape
+    wp = w - r + 1
+    plain = x_im2col(video, r)                       # (T*H*W', c*r)
+    parts = [plain]
+    for i in range(1, r):
+        parts.append(jnp.roll(plain, -i * wp, axis=0))
+    return jnp.concatenate(parts, axis=1)            # (T*H*W', r*c*r)
+
+
 def _gather_regions_cols(xcols_flat, f_idx, sy, sx, pt, c_d, r, t_len, h, w):
-    """Row-segment gather: (B, n_dt) starts -> (B, n_dt, pt, c_d, r, r)."""
+    """Row-segment gather: (B, n_dt) starts -> (B, n_dt, pt, c_d, r, r).
+
+    Accepts either the plain arena (c_d*r lanes: r takes per region) or
+    the r-fused one (r*c_d*r lanes: ONE take per region), detected by
+    lane width."""
     wp = w - r + 1
     b, n_dt = f_idx.shape
     f = jnp.clip(f_idx, 0, t_len - pt)                       # (B, n_dt)
     dtp = jnp.arange(pt, dtype=jnp.int32)                    # frames in patch
-    row = jnp.arange(r, dtype=jnp.int32)                     # rows in region
-    idx = ((f[:, :, None, None] + dtp[None, None, :, None]) * h
-           + sy[:, :, None, None] + row[None, None, None, :]) * wp \
-        + sx[:, :, None, None]                               # (B, n_dt, pt, r)
-    seg = jnp.take(xcols_flat, idx.reshape(-1), axis=0)      # (., c_d*r)
-    seg = seg.reshape(b, n_dt, pt, r, c_d, r)
+    if xcols_flat.shape[1] == r * c_d * r:
+        idx = ((f[:, :, None] + dtp[None, None, :]) * h
+               + sy[:, :, None]) * wp + sx[:, :, None]       # (B, n_dt, pt)
+        seg = jnp.take(xcols_flat, idx.reshape(-1), axis=0)
+        seg = seg.reshape(b, n_dt, pt, r, c_d, r)
+    else:
+        row = jnp.arange(r, dtype=jnp.int32)                 # rows in region
+        idx = ((f[:, :, None, None] + dtp[None, None, :, None]) * h
+               + sy[:, :, None, None] + row[None, None, None, :]) * wp \
+            + sx[:, :, None, None]                           # (B, n_dt, pt, r)
+        seg = jnp.take(xcols_flat, idx.reshape(-1), axis=0)  # (., c_d*r)
+        seg = seg.reshape(b, n_dt, pt, r, c_d, r)
     return jnp.transpose(seg, (0, 1, 2, 4, 3, 5))            # (B,n_dt,pt,c_d,r,r)
 
 
@@ -250,15 +275,25 @@ def build_search_ctx(video: jnp.ndarray, cfg: StageConfig):
     row segments per batch would dominate the search cost.
     """
     r = cfg.w_s + cfg.ps - 1
+
+    def unfold(v):
+        # r-fused arena (ONE take per region) when it fits comfortably,
+        # plain otherwise — _gather_regions_cols detects by lane width
+        t, _, lh, lw = v.shape
+        fused_bytes = t * lh * (lw - r + 1) * cfg.dist_chnls * r * r * 4
+        if fused_bytes <= int(4.5e9):
+            return x_im2col_rfused(v[:, :cfg.dist_chnls], r)
+        return x_im2col(v[:, :cfg.dist_chnls], r)
+
     n_levels = cfg.needle_scales if cfg.stype == "needle" else 1
-    videos, xcols = [video], [x_im2col(video[:, :cfg.dist_chnls], r)]
+    videos, xcols = [video], [unfold(video)]
     for _ in range(1, n_levels):
         lh, lw = videos[-1].shape[2] // 2, videos[-1].shape[3] // 2
         if lh < r or lw < r:
             break
         lvl = _avg_pool2(videos[-1])
         videos.append(lvl)
-        xcols.append(x_im2col(lvl[:, :cfg.dist_chnls], r))
+        xcols.append(unfold(lvl))
     return tuple(videos), tuple(xcols)
 
 
