@@ -26,12 +26,15 @@ from .utils.timer import Timer
 
 
 def _prep_flows(noisy_shape, flows):
+    """Returns (fflow, bflow, zero_flow).  The flag rides along so callers
+    can tell proc_nl statically — its auto-detection would round-trip the
+    device-resident zeros back to the host (~16 MB/pass over the tunnel)."""
     if flows is None:
         # allocate the zeros ON DEVICE: a host-side (t,2,h,w) pair is a
         # ~33 MB host->device transfer per call through the axon tunnel
         t, _, h, w = noisy_shape
         z = jnp.zeros((t, 2, h, w), jnp.float32)
-        return z, z
+        return z, z, True
     if isinstance(flows, dict):
         fflow, bflow = flows["fflow"], flows["bflow"]
     else:
@@ -44,7 +47,7 @@ def _prep_flows(noisy_shape, flows):
         fflow, bflow = expand_flows(fflow, bflow)
     assert fflow.shape[0] == t and bflow.shape[0] == t, \
         f"flows must have {t} or {t - 1} frames"
-    return fflow, bflow
+    return fflow, bflow, bool(not fflow.any() and not bflow.any())
 
 
 def denoise(noisy, sigma: float, flows=None, clean=None,
@@ -67,13 +70,15 @@ def denoise(noisy, sigma: float, flows=None, clean=None,
     noisy = np.asarray(noisy, np.float32) if not hasattr(noisy, "shape") \
         else noisy
     cfg = cfg or default_config(sigma, preset=preset, verbose=verbose)
-    fflow, bflow = _prep_flows(noisy.shape, flows)
+    fflow, bflow, zf = _prep_flows(noisy.shape, flows)
 
     if verbose:
         print(f"[vnlb_tpu] preset={cfg.preset} sigma={sigma}")
 
-    basic = proc_nl(noisy, None, clean, fflow, bflow, cfg.stage(0))
-    deno = proc_nl(noisy, basic, clean, fflow, bflow, cfg.stage(1))
+    basic = proc_nl(noisy, None, clean, fflow, bflow, cfg.stage(0),
+                    zero_flow=zf)
+    deno = proc_nl(noisy, basic, clean, fflow, bflow, cfg.stage(1),
+                   zero_flow=zf)
     deno.block_until_ready()
     return deno, basic, clock.toc()
 
@@ -119,8 +124,12 @@ def denoise_streaming(noisy, sigma: float, chunk: int = 12, flows=None,
     t_len = noisy.shape[0]
     cfg = cfg or default_config(sigma, preset=preset, verbose=verbose)
     s0, s1 = cfg.stage(0), cfg.stage(1)
-    fflow, bflow = _prep_flows(noisy.shape, flows)
-    fflow, bflow = np.asarray(fflow), np.asarray(bflow)
+    fflow, bflow, zflow = _prep_flows(noisy.shape, flows)
+    if flows is None:
+        # host zeros: the streaming loop slices per-chunk windows
+        fflow = bflow = np.zeros((t_len, 2) + noisy.shape[2:], np.float32)
+    else:
+        fflow, bflow = np.asarray(fflow), np.asarray(bflow)
 
     if mesh is not None:
         from .parallel.halo import proc_nl_halo
@@ -131,7 +140,7 @@ def denoise_streaming(noisy, sigma: float, chunk: int = 12, flows=None,
     else:
         def run_pass(scfg, nz, bs, ff, bf, t0):
             return np.asarray(proc_nl(nz, bs, None, ff, bf, scfg,
-                                      t_origin=t0))
+                                      zero_flow=zflow, t_origin=t0))
 
     def stream_pass(scfg, basic_full):
         ctx = 2 * max(scfg.nwt_b, scfg.nwt_f) + scfg.pt - 1
@@ -171,26 +180,29 @@ def denoise_mod(noisy, sigma: float, flows=None, clean=None,
     clock = Timer().tic()
     noisy = jnp.asarray(noisy, jnp.float32)
     cfg = default_config(sigma, preset="iphone", verbose=verbose)
-    fflow, bflow = _prep_flows(noisy.shape, flows)
+    fflow, bflow, zflow = _prep_flows(noisy.shape, flows)
 
     s0 = cfg.stage(0)
     basic = proc_nl(noisy, None, clean, fflow, bflow,
                     s0.replace(npatches=10, srch_img="noisy",
-                               cpatches="noisy", deno="ave"))
+                               cpatches="noisy", deno="ave"),
+                    zero_flow=zflow)
 
     alpha = 0.75
     for _ in range(3):
         basic = alpha * basic + (1 - alpha) * noisy
         basic = proc_nl(noisy, basic, clean, fflow, bflow,
                         s0.replace(npatches=2, srch_img="basic",
-                                   cpatches="noisy", deno="ave"))
+                                   cpatches="noisy", deno="ave"),
+                        zero_flow=zflow)
 
     basic = proc_nl(noisy, basic, clean, fflow, bflow,
                     s0.replace(npatches=100, srch_img="basic",
-                               cpatches="noisy", deno="bayes"))
+                               cpatches="noisy", deno="bayes"),
+                    zero_flow=zflow)
 
     s1 = cfg.stage(1).replace(npatches=60, gamma=0.2, cpatches="basic")
-    deno = proc_nl(noisy, basic, clean, fflow, bflow, s1)
+    deno = proc_nl(noisy, basic, clean, fflow, bflow, s1, zero_flow=zflow)
     deno.block_until_ready()
     return deno, basic, clock.toc()
 

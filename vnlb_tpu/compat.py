@@ -138,7 +138,7 @@ def denoise_compat(noisy, sigma: float, flows=None, clean=None,
     from .api import _prep_flows
 
     cfg = cfg or default_config(sigma, preset=preset)
-    fflow, bflow = _prep_flows(noisy.shape, flows)
+    fflow, bflow, _ = _prep_flows(noisy.shape, flows)
     basic = proc_nl_compat(noisy, None, clean, fflow, bflow, cfg.stage(0),
                            seed=seed)
     deno = proc_nl_compat(noisy, basic, clean, fflow, bflow, cfg.stage(1),

@@ -124,3 +124,21 @@ def fill_patches_cols_fused(cols_pt: jnp.ndarray, rows_base: jnp.ndarray,
     d = c * ps * ps
     out = jnp.take(cols_pt, rows_base.reshape(-1), axis=0)[:, :pt * d]
     return out.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("pt", "ps", "c"))
+def fill_patches_cols_joint(cols_join: jnp.ndarray, rows_base: jnp.ndarray,
+                            pt: int, ps: int, c: int):
+    """One take over a lane-JOINED pair of pt-fused arenas (noisy ++ basic):
+    XLA's TPU take is ~per-row cost, so gathering both step-2 arenas from a
+    (N, 2*pt*D) concat at the same rows halves the gather bill vs two takes.
+    Returns (pnoisy, pbasic), each (B, K, pt, C, ps, ps) float32."""
+    b, k = rows_base.shape
+    d = c * ps * ps
+    out = jnp.take(cols_join, rows_base.reshape(-1), axis=0)
+
+    def part(j):
+        block = out[:, j * pt * d:(j + 1) * pt * d]
+        return block.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)
+
+    return part(0), part(1)

@@ -344,22 +344,13 @@ def _ps_basis_pinv(m: int, s: int, nodes: int):
     return np.linalg.pinv(phi).T.astype(np.float32)      # (nodes, m*s)
 
 
-def _pack2_blockdiag(mats):
-    """(G, p, p) -> (G/2, 2p, 2p): consecutive group pairs on the diagonal.
-
-    The MXU is weight-load-bound at these shapes — a (49,49) operand costs
-    the same tile loads as (98,98) after lane padding to 128 — so packing
-    two p=49 groups per matrix halves the matmul op count of the whole
-    Clenshaw chain for free.  Every polynomial of a block-diagonal matrix
-    is block-diagonal, and the padding zeros add exactly 0.0 to each MXU
-    accumulation, so results match the unpacked evaluation.
-    """
-    g, p, _ = mats.shape
-    m2 = mats.reshape(g // 2, 2, p, p)
-    out = jnp.zeros((g // 2, 2 * p, 2 * p), mats.dtype)
-    out = out.at[:, :p, :p].set(m2[:, 0])
-    out = out.at[:, p:, p:].set(m2[:, 1])
-    return out
+@functools.lru_cache(maxsize=None)
+def _blockdiag_mask2(q: int):
+    """(2q, 2q) 0/1 numpy mask keeping the two diagonal q-blocks."""
+    m = np.zeros((2 * q, 2 * q), np.float32)
+    m[:q, :q] = 1.0
+    m[q:, q:] = 1.0
+    return m
 
 
 def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
@@ -402,6 +393,9 @@ def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
         # effective matmul ops per group vs ~11 98-dim ops on the
         # left-regime route, because 2K <= 128 lets the Clenshaw chain
         # pack two groups per MXU tile.
+        if cfg.poly_pack2 and 2 * k <= 128 and g % 2 == 0 and g >= 2:
+            return _poly_econ_gram_packed(xc2, xn2, m, s, nodes, tau, cfg,
+                                          transfer_vals)
         gram = jnp.einsum("gkp,glp->gkl", xc2, xc2,
                           preferred_element_type=jnp.float32) / k
         tr = jnp.einsum("gii->g", gram)
@@ -412,6 +406,13 @@ def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
         gam_g = (fv @ jnp.asarray(gmap)).reshape(g, m, s)
         f0 = fv @ jnp.asarray(v0)                              # (G,)
         return _poly_econ_gram(xc2, xn2, gram, lub, gam_g, f0, m, s, cfg)
+
+    if (k >= p and cfg.poly_pack2 and 2 * p <= 128 and g % 2 == 0
+            and g >= 2):
+        # matrix regime with 2-groups-per-matrix block-diagonal packing:
+        # halves the matmul ops when p <= 64 (step-0 iphone preset p=49)
+        return _poly_econ_packed(xc2, xn2, m, s, nodes, tau, cfg,
+                                 transfer_vals)
 
     # 1-pass bf16-multiply covariance — see poly_filter_fused's note
     a_cov = jnp.einsum("gkp,gkq->gpq", xc2, xc2,
@@ -425,12 +426,6 @@ def poly_filter_econ(xc2: jnp.ndarray, xn2: jnp.ndarray, cfg) -> jnp.ndarray:
     gam = (fv @ jnp.asarray(_ps_basis_pinv(m, s, nodes))).reshape(g, m, s)
 
     ah = 2.0 * a_cov / lub[:, None, None] - eye
-
-    if (k >= p and cfg.poly_pack2 and 2 * p <= 128 and g % 2 == 0
-            and g >= 2):
-        # matrix regime with 2-groups-per-matrix block-diagonal packing:
-        # halves the matmul ops when p <= 64 (step-0 iphone preset p=49)
-        return _poly_econ_packed(xn2, ah, gam, m, s, cfg)
 
     # T_r(Ah) as needed, and B = T_s(Ah) from the even power identities
     a2 = mmm(ah, ah)
@@ -513,9 +508,9 @@ def _chain_mats(ahx, coef, m, s, mmm, eye):
 
 
 def _poly_econ_gram(xc2, xn2, gram, lub, gam, f0, m, s, cfg):
-    """GRAM-domain econ evaluation (K < p): Xn f(C) = f0 Xn +
-    (Xn Xc^T) g(Gram) Xc / K, chain on K x K matrices, packed 2-per-tile
-    when 2K <= 128.  gam: (G, m, s) econ coefficients of g; f0: (G,)."""
+    """GRAM-domain econ evaluation (K < p), UNPACKED: Xn f(C) = f0 Xn +
+    (Xn Xc^T) g(Gram) Xc / K, chain on K x K matrices.
+    gam: (G, m, s) econ coefficients of g; f0: (G,)."""
     g, k, p = xc2.shape
     sdty = jnp.bfloat16 if cfg.poly_bf16 else jnp.float32
 
@@ -530,44 +525,90 @@ def _poly_econ_gram(xc2, xn2, gram, lub, gam, f0, m, s, cfg):
     gh = 2.0 * gram / lub[:, None, None] - eye_k
     mh = jnp.einsum("gkp,glp->gkl", xn2, xc2,
                     preferred_element_type=jnp.float32)       # Xn Xc^T
-
-    if cfg.poly_pack2 and 2 * k <= 128 and g % 2 == 0 and g >= 2:
-        g2, k2 = g // 2, 2 * k
-        gh_p = _pack2_blockdiag(gh)
-        mh_p = _pack2_blockdiag(mh)
-        eye2 = jnp.eye(k2, dtype=jnp.float32)
-        # per-COLUMN coefficients: block b's columns carry group 2g+b's gam
-        cvec = jnp.repeat(gam.reshape(g2, 2, m, s), k, axis=1)
-        cvec = jnp.transpose(cvec, (0, 2, 3, 1))              # (G2, m, s, 2k)
-        g_mat = _chain_mats(gh_p, lambda i, r: cvec[:, i, r, None, :],
-                            m, s, mmm, eye2)
-        t_p = mmm(mh_p, g_mat)                                # block-diag
-        xc_st = xc2.reshape(g2, k2, p)
-        y = jnp.einsum("gij,gjp->gip", st(t_p), st(xc_st),
-                       preferred_element_type=jnp.float32)
-        y = y.reshape(g, k, p)
-    else:
-        g_mat = _chain_mats(gh, lambda i, r: gam[:, i, r, None, None],
-                            m, s, mmm, eye_k)
-        t_m = mmm(mh, g_mat)
-        y = jnp.einsum("gij,gjp->gip", st(t_m), st(xc2),
-                       preferred_element_type=jnp.float32)
+    g_mat = _chain_mats(gh, lambda i, r: gam[:, i, r, None, None],
+                        m, s, mmm, eye_k)
+    t_m = mmm(mh, g_mat)
+    y = jnp.einsum("gij,gjp->gip", st(t_m), st(xc2),
+                   preferred_element_type=jnp.float32)
     # chain rule of the division variable: f - f0 = (x+1) g_hat(x) with
     # x + 1 = 2 lam / lub, so g(lam) = (2/lub) g_hat(x); plus the /K of
     # Xn C q(C) = Xn Xc^T q(Gram) Xc / K
     return f0[:, None, None] * xn2 + y * (2.0 / (k * lub))[:, None, None]
 
 
-def _poly_econ_packed(xn2, ah, gam, m, s, cfg):
+def _poly_econ_gram_packed(xc2, xn2, m, s, nodes, tau, cfg, transfer_vals):
+    """GRAM-domain econ evaluation with 2-groups-per-tile packing, built by
+    MASKED STACKED PRODUCTS: the packed block-diagonal Gram / cross matrices
+    are computed directly as ONE (2K, p) @ (p, 2K) matmul per pair with a
+    constant 0/1 block mask fused into the epilogue — no separate per-group
+    matmuls and no block-diagonal assembly (the ``zeros().at[].set`` form
+    lowered to TPU scatters costing ~0.23 s/two-pass at 480p; a pad+concat
+    form still costs two dense copies).  The masked diagonal blocks contract
+    over the same K terms as the unpacked products, and every chain step
+    preserves exact block-diagonality (off-diagonal zeros stay zero through
+    products and the diagonal eye), so results match the unpacked route to
+    fp rounding of the lub scaling order."""
+    g, k, p = xc2.shape
+    g2, k2 = g // 2, 2 * k
+    sdty = jnp.bfloat16 if cfg.poly_bf16 else jnp.float32
+
+    def st(x):
+        return x.astype(sdty)
+
+    def mmm(a, b):
+        return jnp.einsum("gij,gjk->gik", st(a), st(b),
+                          preferred_element_type=jnp.float32)
+
+    mask = jnp.asarray(_blockdiag_mask2(k))
+    xc_st = xc2.reshape(g2, k2, p)
+    xn_st = xn2.reshape(g2, k2, p)
+    gram_p = jnp.einsum("gip,gjp->gij", xc_st, xc_st,
+                        preferred_element_type=jnp.float32) * (mask / k)
+    # per-block spectral bound: masked rows only contain their own block
+    diag = jnp.einsum("gii->gi", gram_p)                      # (G2, 2K)
+    tr2 = jnp.sum(diag.reshape(g2, 2, k), axis=2)             # (G2, 2)
+    rs2 = jnp.max(jnp.sum(jnp.abs(gram_p), axis=2).reshape(g2, 2, k),
+                  axis=2)
+    lub2 = jnp.maximum(jnp.minimum(tr2, rs2), 1.5 * tau) * 1.02
+    lub = lub2.reshape(g)
+
+    fv = transfer_vals(lub)
+    gmap, v0 = _gram_maps(m, s, nodes)
+    gam = (fv @ jnp.asarray(gmap)).reshape(g, m, s)
+    f0 = fv @ jnp.asarray(v0)                                 # (G,)
+
+    # gh = 2 gram / lub - I per block, via per-block ROW scaling (exact:
+    # off-diagonal entries are zero)
+    scale = jnp.repeat(2.0 / lub2, k, axis=1)                 # (G2, 2K)
+    eye2 = jnp.eye(k2, dtype=jnp.float32)
+    gh_p = gram_p * scale[:, :, None] - eye2
+    mh_p = jnp.einsum("gip,gjp->gij", xn_st, xc_st,
+                      preferred_element_type=jnp.float32) * mask
+
+    # per-COLUMN coefficients: block b's columns carry group 2g+b's gam
+    cvec = jnp.repeat(gam.reshape(g2, 2, m, s), k, axis=1)
+    cvec = jnp.transpose(cvec, (0, 2, 3, 1))                  # (G2, m, s, 2K)
+    g_mat = _chain_mats(gh_p, lambda i, r: cvec[:, i, r, None, :],
+                        m, s, mmm, eye2)
+    t_p = mmm(mh_p, g_mat)                                    # block-diag
+    y = jnp.einsum("gij,gjp->gip", st(t_p), st(xc_st),
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(g, k, p)
+    return f0[:, None, None] * xn2 + y * (2.0 / (k * lub))[:, None, None]
+
+
+def _poly_econ_packed(xc2, xn2, m, s, nodes, tau, cfg, transfer_vals):
     """Matrix-regime econ evaluation with 2-groups-per-matrix packing.
 
-    ah:  (G, p, p) normalized covariance operands (G even, 2p <= 128).
-    gam: (G, m, s) per-group basis coefficients.
-    Returns (G, K, p) filtered rows.  See _pack2_blockdiag for why this
-    halves the op count (round-2 judge item #2: the step-0 iphone preset
-    runs p=49, half the 128-lane MXU tile).
+    The packed block-diagonal covariance is computed DIRECTLY as one
+    lane-stacked (K, 2p)^T @ (K, 2p) product per pair with a constant 0/1
+    block mask fused into the epilogue (see _poly_econ_gram_packed for why
+    this beats assembling block diagonals).  Halves the matmul op count
+    when 2p <= 128 (round-2 judge item #2: the step-0 iphone preset runs
+    p=49, half the 128-lane MXU tile).  Returns (G, K, p) filtered rows.
     """
     g, k, p = xn2.shape
+    g2, p2 = g // 2, 2 * p
     sdty = jnp.bfloat16 if cfg.poly_bf16 else jnp.float32
 
     def st(x):
@@ -581,42 +622,35 @@ def _poly_econ_packed(xn2, ah, gam, m, s, cfg):
         return jnp.einsum("gij,gjk->gik", st(a), st(b),
                           preferred_element_type=jnp.float32)
 
-    g2, p2 = g // 2, 2 * p
-    ah_p = _pack2_blockdiag(ah)
-    eye2 = jnp.eye(p2, dtype=ah_p.dtype)
+    # lane-stacked pairs: group 2g in lanes [:p], group 2g+1 in lanes [p:]
+    xc_p = jnp.transpose(xc2.reshape(g2, 2, k, p),
+                         (0, 2, 1, 3)).reshape(g2, k, p2)
     xn_p = jnp.transpose(xn2.reshape(g2, 2, k, p),
                          (0, 2, 1, 3)).reshape(g2, k, p2)
+
+    mask = jnp.asarray(_blockdiag_mask2(p))
+    cov_p = jnp.einsum("gki,gkj->gij", xc_p, xc_p,
+                       preferred_element_type=jnp.float32) * (mask / k)
+    diag = jnp.einsum("gii->gi", cov_p)                       # (G2, 2p)
+    tr2 = jnp.sum(diag.reshape(g2, 2, p), axis=2)             # (G2, 2)
+    rs2 = jnp.max(jnp.sum(jnp.abs(cov_p), axis=2).reshape(g2, 2, p),
+                  axis=2)
+    lub2 = jnp.maximum(jnp.minimum(tr2, rs2), 1.5 * tau) * 1.02
+    lub = lub2.reshape(g)
+
+    fv = transfer_vals(lub)
+    gam = (fv @ jnp.asarray(_ps_basis_pinv(m, s, nodes))).reshape(g, m, s)
+
+    scale = jnp.repeat(2.0 / lub2, p, axis=1)                 # (G2, 2p)
+    eye2 = jnp.eye(p2, dtype=jnp.float32)
+    ah_p = cov_p * scale[:, :, None] - eye2
+
     # per-COLUMN coefficients: block b's columns carry group (2g+b)'s gamma
     cvec = jnp.repeat(gam.reshape(g2, 2, m, s), p, axis=1)    # (G2, 2p, m, s)
     cvec = jnp.transpose(cvec, (0, 2, 3, 1))                  # (G2, m, s, 2p)
 
-    a2 = mmm(ah_p, ah_p)
-    if s == 4:
-        a4 = mmm(a2, a2)
-        b_mat = 8.0 * a4 - 8.0 * a2 + eye2
-        t3 = mmm(4.0 * a2 - 3.0 * eye2, ah_p)
-        t_mats = [None, ah_p, 2.0 * a2 - eye2, t3]
-    elif s == 3:
-        b_mat = mmm(4.0 * a2 - 3.0 * eye2, ah_p)
-        t_mats = [None, ah_p, 2.0 * a2 - eye2]
-    elif s == 2:
-        b_mat = 2.0 * a2 - eye2
-        t_mats = [None, ah_p]
-    else:
-        raise NotImplementedError(f"ps split s={s}")
-
-    def t_of(r):
-        return (jnp.broadcast_to(eye2, ah_p.shape) if r == 0
-                else t_mats[r])
-
-    v_mats = [sum(cvec[:, i, r, None, :] * t_of(r) for r in range(s))
-              for i in range(m)]
-    b_hi = jnp.zeros_like(ah_p)
-    b_lo = jnp.zeros_like(ah_p)
-    for i in range(m - 1, 0, -1):
-        b_new = v_mats[i] + 2.0 * mmm(b_hi, b_mat) - b_lo
-        b_lo, b_hi = b_hi, b_new
-    f_mat = v_mats[0] + mmm(b_hi, b_mat) - b_lo
+    f_mat = _chain_mats(ah_p, lambda i, r: cvec[:, i, r, None, :],
+                        m, s, mmm, eye2)
     y = lmm(xn_p, f_mat)                                      # (G2, K, 2p)
     return jnp.transpose(y.reshape(g2, k, 2, p),
                          (0, 2, 1, 3)).reshape(g, k, p)

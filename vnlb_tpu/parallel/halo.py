@@ -414,7 +414,7 @@ def denoise_halo(noisy, sigma: float, mesh: Optional[Mesh] = None,
 
     mesh = mesh or make_mesh(axis="h")
     cfg = cfg or default_config(sigma, preset=preset)
-    fflow, bflow = _prep_flows(noisy.shape, flows)
+    fflow, bflow, _ = _prep_flows(noisy.shape, flows)
     basic = proc_nl_halo(noisy, None, fflow, bflow, cfg.stage(0), mesh)
     deno = proc_nl_halo(noisy, basic, fflow, bflow, cfg.stage(1), mesh)
     return deno, basic

@@ -80,8 +80,11 @@ def denoise_pipelined(noisy, sigma: float, chunk: int = 12, flows=None,
     t_len = noisy.shape[0]
     cfg = cfg or default_config(sigma, preset=preset, verbose=verbose)
     s0, s1 = cfg.stage(0), cfg.stage(1)
-    fflow, bflow = _prep_flows(noisy.shape, flows)
-    fflow, bflow = np.asarray(fflow), np.asarray(bflow)
+    fflow, bflow, zflow = _prep_flows(noisy.shape, flows)
+    if flows is None:
+        fflow = bflow = np.zeros((t_len, 2) + noisy.shape[2:], np.float32)
+    else:
+        fflow, bflow = np.asarray(fflow), np.asarray(bflow)
 
     if devices is None:
         devs = jax.devices()

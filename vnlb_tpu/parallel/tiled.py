@@ -112,9 +112,9 @@ def denoise_sharded(noisy, sigma: float, mesh: Optional[Mesh] = None,
 
     mesh = mesh or make_mesh()
     cfg = cfg or default_config(sigma, preset=preset)
-    fflow, bflow = _prep_flows(noisy.shape, flows)
+    fflow, bflow, zf = _prep_flows(noisy.shape, flows)
     basic = proc_nl_sharded(noisy, None, None, fflow, bflow, cfg.stage(0),
-                            mesh)
+                            mesh, zero_flow=zf)
     deno = proc_nl_sharded(noisy, basic, None, fflow, bflow, cfg.stage(1),
-                           mesh)
+                           mesh, zero_flow=zf)
     return deno, basic

@@ -111,6 +111,14 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
 
     cols_noisy = build_cols(noisy_yuv)
     cols_basic = build_cols(basic_yuv) if cfg.step == 1 else None
+    # step 2 gathers noisy AND basic patches at the SAME rows: a lane-joined
+    # arena turns the two takes into one (take cost is ~per-row); gate on
+    # the joint arena fitting comfortably (long streaming windows fall back)
+    join_arenas = (cfg.step == 1 and fuse_pt
+                   and 2 * t_len * hp * wp * cfg.pt * d
+                   * (2 if cfg.cols_bf16 else 4) <= int(5e9))
+    cols_join = (jnp.concatenate([cols_noisy, cols_basic], axis=1)
+                 if join_arenas else None)
 
     # pt*D patch lanes + 1 fused weight-count lane (see agg.agg_rows)
     acc0 = jnp.zeros((t_len * hp * wp, cfg.pt * d + 1), jnp.float32)
@@ -138,7 +146,10 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         valid, inds, vals = xs
         rows = gather.inds_to_rows(inds, shape, cfg.ps, cfg.pt)
 
-        if fuse_pt:
+        if join_arenas:
+            pnoisy, pbasic = gather.fill_patches_cols_joint(
+                cols_join, rows[:, :, 0], cfg.pt, cfg.ps, c)
+        elif fuse_pt:
             pnoisy = gather.fill_patches_cols_fused(
                 cols_noisy, rows[:, :, 0], cfg.pt, cfg.ps, c)
             pbasic = (gather.fill_patches_cols_fused(
@@ -194,7 +205,11 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         vm = wts_k[:, :, None].astype(pfilt.dtype)
         upd = jnp.concatenate(
             [pfilt.reshape(b_, k_, cfg.pt * d) * vm, vm], axis=-1)
-        return acc, (rows[:, :, 0], upd)
+        # stack FLATTENED: the scan's per-step dynamic-update-slice into the
+        # (nb, B, K, ptd+1) buffer relayouts the (ptd+1)-lane minor dim
+        # (295 lanes pad to 384 in vregs — traced at ~14 GB/s effective);
+        # a 1-D row write is a plain contiguous copy
+        return acc, (rows[:, :, 0].reshape(-1), upd.reshape(-1))
 
     acc, ys = jax.lax.scan(body, acc0,
                            (valid_batches, inds_batches, vals_batches))
