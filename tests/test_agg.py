@@ -89,3 +89,38 @@ def test_agg_deterministic():
                          jnp.asarray(valid), pt, ps, shape)
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_im2col_conv_bitwise_parity():
+    """The one-hot-conv unfold must equal gather.im2col BITWISE (each
+    output element has exactly one nonzero kernel term; bf16 products x*1
+    are exact, and the f32 path's HIGHEST-precision split recombines
+    losslessly for a 0/1 multiplier)."""
+    from vnlb_tpu.ops import gather
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(128, 40, (2, 3, 24, 20)).astype(np.float32))
+    for bf16 in (True, False):
+        ref = gather.im2col(v, 7).astype(
+            jnp.bfloat16 if bf16 else jnp.float32)
+        got = gather.im2col_conv(v, 7, bf16=bf16)
+        assert got.shape == ref.shape
+        assert np.array_equal(np.asarray(ref, np.float32),
+                              np.asarray(got, np.float32))
+
+
+def test_cols_fuse_pt_cmaj_order():
+    """c-major fused rows are the (c, pt, ps*ps) permutation of the
+    pt-major fusion (same data, per-channel contiguous p-lane blocks)."""
+    from vnlb_tpu.ops import gather
+
+    rng = np.random.default_rng(4)
+    c, ps, pt, hpwp = 3, 2, 2, 5
+    d = c * ps * ps
+    cols = jnp.asarray(rng.normal(0, 1, (2 * hpwp, d)).astype(np.float32))
+    ptm = np.asarray(gather.cols_fuse_pt(cols, pt, hpwp))       # (N, pt*d)
+    cmj = np.asarray(gather.cols_fuse_pt(cols, pt, hpwp, c=c))
+    pp = ps * ps
+    ptm6 = ptm.reshape(-1, pt, c, pp)
+    cmj6 = cmj.reshape(-1, c, pt, pp)
+    assert np.array_equal(ptm6.transpose(0, 2, 1, 3), cmj6)

@@ -33,7 +33,14 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _to_bcnp(p: jnp.ndarray) -> jnp.ndarray:
-    """(B, K, pt, c, ps, ps) -> (B, c, K, pt*ps*ps)."""
+    """Patches -> (B, c, K, p) group layout.
+
+    Accepts EITHER the public 6-D (B, K, pt, c, ps, ps) layout (transpose
+    shuffles ps*ps-lane fragments) or c-major 4-D rows (B, K, c, p) from
+    the fused arenas (gather.cols_fuse_pt c-major order) whose transpose
+    moves contiguous p-lane blocks — ~2.5x cheaper on TPU."""
+    if p.ndim == 4:
+        return jnp.transpose(p, (0, 2, 1, 3))
     b, k, pt, c, ps, _ = p.shape
     return jnp.transpose(p, (0, 3, 1, 2, 4, 5)).reshape(b, c, k, pt * ps * ps)
 
@@ -49,19 +56,27 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Filter noisy patch groups; returns (filtered, rank_var).
 
-    pnoisy/pbasic: (B, K, pt, c, ps, ps); flat: (B,) bool or None.
+    pnoisy/pbasic: (B, K, pt, c, ps, ps) public layout, or c-major
+    (B, K, c, pt*ps*ps) rows (see _to_bcnp); flat: (B,) bool or None.
+    The filtered output is ALWAYS the public 6-D layout.
     """
-    b, k, pt, c, ps, _ = pnoisy.shape
-    p = pt * ps * ps
+    if pnoisy.ndim == 4:
+        b, k, c, p = pnoisy.shape
+        pt, ps = cfg.pt, cfg.ps
+    else:
+        b, k, pt, c, ps, _ = pnoisy.shape
+        p = pt * ps * ps
     rank = min(cfg.rank, p)
     step2 = cfg.step == 1
 
-    xn = _to_bcnp(pnoisy)                                   # (B, c, K, p)
+    # layout transpose in the INPUT dtype (bf16 arena rows halve the
+    # transpose traffic), exact upcast to f32 right after
+    xn = _to_bcnp(pnoisy).astype(jnp.float32)               # (B, c, K, p)
     cnoisy = jnp.mean(xn, axis=2, keepdims=True)            # (B, c, 1, p)
 
     if step2:
         assert pbasic is not None and flat is not None
-        xb = _to_bcnp(pbasic)
+        xb = _to_bcnp(pbasic).astype(jnp.float32)
         cbasic = jnp.mean(xb, axis=2, keepdims=True)
         cnoisy = jnp.where(flat[:, None, None, None], cbasic, cnoisy)
         xb = xb - cbasic
@@ -230,4 +245,4 @@ def ave_denoise(pnoisy: jnp.ndarray) -> jnp.ndarray:
     aggregation of the raw noisy patches.  We reproduce that behavior
     (identity) rather than the dead code path.
     """
-    return pnoisy
+    return pnoisy.astype(jnp.float32)

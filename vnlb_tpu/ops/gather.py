@@ -55,6 +55,38 @@ def im2col(video: jnp.ndarray, ps: int) -> jnp.ndarray:
     return jnp.transpose(cols, (0, 2, 3, 1, 4)).reshape(t, hp, wp, c * ps * ps)
 
 
+@functools.partial(jax.jit, static_argnames=("ps", "bf16"))
+def im2col_conv(video: jnp.ndarray, ps: int, bf16: bool = True
+                ) -> jnp.ndarray:
+    """im2col as ONE one-hot convolution: (T, C, H, W) -> (T, H', W',
+    C*ps*ps) in bf16 (or f32).
+
+    The slice-stack-transpose form of ``im2col`` lowers to ~150 chunked
+    dynamic-update-slices plus a relayout (~30-40 ms per 480p arena
+    traced); a VALID conv with a one-hot (ps, ps, C, C*ps*ps) kernel emits
+    the same columns in one MXU op (~90 GFLOP at 480p).  Values are
+    BITWISE identical: each output element has exactly one nonzero kernel
+    term, bf16 products x*1 are exact on the bf16-cast input, and the f32
+    path uses HIGHEST precision (exact 3-way bf16 splitting, recombined
+    losslessly for a 0/1 multiplier).
+    """
+    t, c, h, w = video.shape
+    dty = jnp.bfloat16 if bf16 else jnp.float32
+    import numpy as np_
+
+    k = np_.zeros((ps, ps, c, c * ps * ps), np_.float32)
+    for ci in range(c):
+        for dy in range(ps):
+            for dx in range(ps):
+                k[dy, dx, ci, ci * ps * ps + dy * ps + dx] = 1.0
+    x = jnp.transpose(video, (0, 2, 3, 1)).astype(dty)
+    return lax.conv_general_dilated(
+        x, jnp.asarray(k, dty), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=None if bf16 else jax.lax.Precision.HIGHEST,
+        preferred_element_type=dty)
+
+
 def cols_rows(cols: jnp.ndarray):
     """Flatten (T, H', W', D) -> ((T*H'*W', D), (H', W'))."""
     t, hp, wp, d = cols.shape
@@ -82,8 +114,10 @@ def fill_patches_cols(cols_flat: jnp.ndarray, rows: jnp.ndarray,
                       pt: int, ps: int, c: int,
                       use_pallas: bool = False) -> jnp.ndarray:
     """Row-gather patches: (N, C*ps*ps) cols + (B, K, pt) rows ->
-    (B, K, pt, C, ps, ps) float32 (cols may be stored bf16 to halve
-    gather traffic — upcast after the gather).
+    (B, K, pt, C, ps, ps) in the ARENA dtype (bf16 arenas stay bf16: the
+    consumer — bayes centering / flat stats — upcasts AFTER its layout
+    transpose, halving the transpose traffic; the bf16->f32 cast is exact,
+    so results are bitwise unchanged).
 
     ``use_pallas`` routes through the async-DMA gather kernel
     (ops/pallas_gather.py) — XLA's TPU gather is ~serial per row."""
@@ -96,49 +130,64 @@ def fill_patches_cols(cols_flat: jnp.ndarray, rows: jnp.ndarray,
         out = gather_rows(cols_flat, rows.reshape(-1))[:, :d]
     else:
         out = jnp.take(cols_flat, rows.reshape(-1), axis=0)[:, :d]
-    return out.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)
+    return out.reshape(b, k, pt, c, ps, ps)
 
 
-def cols_fuse_pt(cols_flat: jnp.ndarray, pt: int, hpwp: int) -> jnp.ndarray:
+def cols_fuse_pt(cols_flat: jnp.ndarray, pt: int, hpwp: int,
+                 c: int = 0) -> jnp.ndarray:
     """(N, D) -> (N, pt*D): row r additionally carries rows r + j*hpwp
     (the SAME patch corner in the next pt-1 frames), so a pt-frame patch
     becomes ONE row gather instead of pt — XLA's TPU take is ~per-row
     cost, so halving the row count (pt=2) halves the gather bill for the
     price of a pt x larger (dense-built) arena.  Rows whose shifted source
     runs past the last frame are never addressed (inds_to_rows clips the
-    base frame to T-pt)."""
+    base frame to T-pt).
+
+    ``c > 0`` selects the C-MAJOR lane order (c, pt, ps*ps) instead of
+    (pt, c, ps*ps): the Bayes filter groups per channel, so c-major rows
+    reach its (B, c, K, p) layout by moving CONTIGUOUS p-lane blocks —
+    the pt-major order made that transpose shuffle ps*ps-lane fragments
+    (traced ~2.5x slower).  The aggregation accumulator keeps its own
+    (pt, c, ps*ps) lane order; arena and accumulator never meet."""
     if pt == 1:
         return cols_flat
-    parts = [cols_flat]
-    for j in range(1, pt):
-        parts.append(jnp.roll(cols_flat, -j * hpwp, axis=0))
-    return jnp.concatenate(parts, axis=1)
+    planes = [cols_flat] + [jnp.roll(cols_flat, -j * hpwp, axis=0)
+                            for j in range(1, pt)]
+    if not c:
+        return jnp.concatenate(planes, axis=1)
+    pp = cols_flat.shape[1] // c
+    return jnp.concatenate(
+        [pl[:, ci * pp:(ci + 1) * pp] for ci in range(c) for pl in planes],
+        axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("pt", "ps", "c"))
 def fill_patches_cols_fused(cols_pt: jnp.ndarray, rows_base: jnp.ndarray,
                             pt: int, ps: int, c: int) -> jnp.ndarray:
-    """fill_patches_cols on a pt-fused arena: rows_base (B, K) plane-0 row
-    indices -> (B, K, pt, C, ps, ps) float32."""
+    """fill_patches_cols on a C-MAJOR pt-fused arena (cols_fuse_pt with
+    c > 0): rows_base (B, K) plane-0 row indices -> (B, K, c, pt*ps*ps)
+    rows in the arena dtype (see fill_patches_cols on why bf16 is NOT
+    upcast here).  The (c, p) lane split is a pure reshape."""
     b, k = rows_base.shape
     d = c * ps * ps
     out = jnp.take(cols_pt, rows_base.reshape(-1), axis=0)[:, :pt * d]
-    return out.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)
+    return out.reshape(b, k, c, pt * ps * ps)
 
 
 @functools.partial(jax.jit, static_argnames=("pt", "ps", "c"))
 def fill_patches_cols_joint(cols_join: jnp.ndarray, rows_base: jnp.ndarray,
                             pt: int, ps: int, c: int):
-    """One take over a lane-JOINED pair of pt-fused arenas (noisy ++ basic):
-    XLA's TPU take is ~per-row cost, so gathering both step-2 arenas from a
-    (N, 2*pt*D) concat at the same rows halves the gather bill vs two takes.
-    Returns (pnoisy, pbasic), each (B, K, pt, C, ps, ps) float32."""
+    """One take over a lane-JOINED pair of c-major pt-fused arenas
+    (noisy ++ basic): XLA's TPU take is ~per-row cost, so gathering both
+    step-2 arenas from a (N, 2*pt*D) concat at the same rows halves the
+    gather bill vs two takes.  Returns (pnoisy, pbasic), each
+    (B, K, c, pt*ps*ps) in the arena dtype."""
     b, k = rows_base.shape
     d = c * ps * ps
     out = jnp.take(cols_join, rows_base.reshape(-1), axis=0)
 
     def part(j):
         block = out[:, j * pt * d:(j + 1) * pt * d]
-        return block.reshape(b, k, pt, c, ps, ps).astype(jnp.float32)
+        return block.reshape(b, k, c, pt * ps * ps)
 
     return part(0), part(1)

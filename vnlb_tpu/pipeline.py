@@ -106,8 +106,13 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                * (2 if cfg.cols_bf16 else 4) <= int(3e9))
 
     def build_cols(img_yuv):
-        cols = gather.cols_rows(gather.im2col(img_yuv, cfg.ps).astype(cdty))[0]
-        return gather.cols_fuse_pt(cols, cfg.pt, hp * wp) if fuse_pt else cols
+        # one-hot-conv unfold (bitwise equal to gather.im2col, one MXU op)
+        cols = gather.im2col_conv(img_yuv, cfg.ps, bf16=cfg.cols_bf16)
+        cols = cols.reshape(t_len * hp * wp, d)
+        # c-major fused lane order: the Bayes (B, c, K, p) relayout then
+        # moves contiguous p-lane blocks (see gather.cols_fuse_pt)
+        return (gather.cols_fuse_pt(cols, cfg.pt, hp * wp, c=c)
+                if fuse_pt else cols)
 
     cols_noisy = build_cols(noisy_yuv)
     cols_basic = build_cols(basic_yuv) if cfg.step == 1 else None
@@ -121,13 +126,15 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                  if join_arenas else None)
 
     # pt*D patch lanes + 1 fused weight-count lane (see agg.agg_rows)
-    acc0 = jnp.zeros((t_len * hp * wp, cfg.pt * d + 1), jnp.float32)
-    if axis_name is not None:
-        pcast = getattr(jax.lax, "pcast", None)
-        if pcast is not None:
-            acc0 = pcast(acc0, axis_name, to="varying")
-        else:
-            acc0 = jax.lax.pvary(acc0, axis_name)
+    def make_acc0():
+        acc0 = jnp.zeros((t_len * hp * wp, cfg.pt * d + 1), jnp.float32)
+        if axis_name is not None:
+            pcast = getattr(jax.lax, "pcast", None)
+            if pcast is not None:
+                acc0 = pcast(acc0, axis_name, to="varying")
+            else:
+                acc0 = jax.lax.pvary(acc0, axis_name)
+        return acc0
 
     # ONE deferred scatter beats per-batch scatters in the scan: measured
     # 46 ns/row one-shot vs 140-260 ns/row for the 8k-row in-scan scatters
@@ -172,6 +179,15 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                 pfilt, _ = bayes.bayes_denoise(pnoisy, None, None, cfg)
         elif cfg.deno == "ave":
             pfilt = bayes.ave_denoise(pnoisy)
+            if pfilt.ndim == 4:
+                # c-major rows -> public (B, K, pt, c, ps, ps) layout so the
+                # scatter-update lanes match the accumulator's (pt, c, ps2)
+                # order (identity when pt == 1)
+                b4, k4 = pfilt.shape[:2]
+                pfilt = jnp.transpose(
+                    pfilt.reshape(b4, k4, c, cfg.pt, cfg.ps * cfg.ps),
+                    (0, 1, 3, 2, 4)).reshape(b4, k4, cfg.pt, c,
+                                             cfg.ps, cfg.ps)
         else:
             raise ValueError(f"unknown deno mode [{cfg.deno}]")
 
@@ -211,15 +227,19 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         # a 1-D row write is a plain contiguous copy
         return acc, (rows[:, :, 0].reshape(-1), upd.reshape(-1))
 
-    acc, ys = jax.lax.scan(body, acc0,
-                           (valid_batches, inds_batches, vals_batches))
+    xs_all = (valid_batches, inds_batches, vals_batches)
     if global_scatter:
+        # the accumulator is UNTOUCHED inside this scan — create it after,
+        # so the scan does not carry (and copy) the multi-GB buffer
+        _, ys = jax.lax.scan(lambda _, xs: body(None, xs), None, xs_all)
         rows_all, upd_all = ys
         # same global row order as the sequential in-scan scatters, and
         # XLA's TPU scatter combines duplicate rows in index order, so the
         # result is bitwise identical to the scan-scatter path
-        acc = acc.at[rows_all.reshape(-1)].add(
+        acc = make_acc0().at[rows_all.reshape(-1)].add(
             upd_all.reshape(-1, cfg.pt * d + 1), mode="drop")
+    else:
+        acc, _ = jax.lax.scan(body, make_acc0(), xs_all)
     return agg.fold(acc, cfg.pt, cfg.ps, shape)
 
 
