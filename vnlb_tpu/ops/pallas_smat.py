@@ -227,8 +227,13 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
             zp = []
             for g in range(step):
                 blk = ybb[g * gmax:(g + 1) * gmax]
-                zp.append(blk if g == 0
-                          else pltpu.roll(blk, wpad - g, axis=1))
+                if g and blk.dtype != jnp.float32:
+                    # Mosaic implements lane rotation only for 32-bit data
+                    blk = pltpu.roll(blk.astype(jnp.float32), wpad - g,
+                                     axis=1).astype(ybb.dtype)
+                elif g:
+                    blk = pltpu.roll(blk, wpad - g, axis=1)
+                zp.append(blk)
             if rowpad > step * gmax:
                 zp.append(ybb[step * gmax:rowpad])
             z = jnp.concatenate(zp, axis=0)

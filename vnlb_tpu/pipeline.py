@@ -75,7 +75,7 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                valid_batches, cfg: StageConfig, shape, axis_name=None,
                n_dense_batches: int = 0, dense_search_fn=None,
                y_bounds=None, search_ctx=None, coarse_global: bool = False,
-               qrow0=None):
+               qrow0=None, prof_upto: str = ""):
     """Scan all site batches; returns image-space (deno (T,C,H,W),
     weights (T,H,W)) accumulators (un-normalized).
 
@@ -88,6 +88,13 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
 
     ``axis_name`` marks the accumulators as device-varying when running
     inside ``shard_map`` (scan carry typing).
+
+    ``prof_upto`` (PROFILING ONLY, scripts/profile_marginal.py): truncate
+    the pass after the named phase and return a forcing scalar instead of
+    the accumulators, so jitted-prefix differences measure true in-context
+    marginal phase costs on the production graph.  Must be threaded as a
+    static jit argument (not read from the environment) so each prefix
+    compiles its own executable.
     """
     t_len, c, h, w = shape
     hp, wp = h - cfg.ps + 1, w - cfg.ps + 1
@@ -96,6 +103,8 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     vals_batches, inds_batches = precompute_inds(
         srch_yuv, fflow, bflow, site_batches, cfg, shape, n_dense_batches,
         dense_search_fn, y_bounds, search_ctx, coarse_global, qrow0)
+    if prof_upto == "search":
+        return jnp.sum(vals_batches) + jnp.sum(inds_batches)
 
     cdty = jnp.bfloat16 if cfg.cols_bf16 else jnp.float32
     # pt-fused arenas: a pt-frame patch is ONE row gather instead of pt
@@ -124,6 +133,12 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                    * (2 if cfg.cols_bf16 else 4) <= int(5e9))
     cols_join = (jnp.concatenate([cols_noisy, cols_basic], axis=1)
                  if join_arenas else None)
+    if prof_upto == "arena":
+        arena = cols_join if join_arenas else cols_noisy
+        forced = jnp.sum(arena.astype(jnp.float32)[::1009])
+        if cols_basic is not None and not join_arenas:
+            forced = forced + jnp.sum(cols_basic.astype(jnp.float32)[::1009])
+        return forced + jnp.sum(vals_batches)
 
     # pt*D patch lanes + 1 fused weight-count lane (see agg.agg_rows)
     def make_acc0():
@@ -169,6 +184,12 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                                                cfg.pt, cfg.ps, c)
                       if cfg.step == 1 else None)
 
+        if prof_upto == "gather":
+            forced = jnp.sum(pnoisy.astype(jnp.float32))
+            if pbasic is not None:
+                forced = forced + jnp.sum(pbasic.astype(jnp.float32))
+            return acc, forced
+
         if cfg.deno == "bayes":
             flat_flags = (flat.flat_areas(pnoisy, cfg.gamma, cfg.sigma2)
                           if (cfg.step == 1 and cfg.flat_areas)
@@ -190,6 +211,9 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
                                              cfg.ps, cfg.ps)
         else:
             raise ValueError(f"unknown deno mode [{cfg.deno}]")
+
+        if prof_upto == "bayes":
+            return acc, jnp.sum(pfilt)
 
         valid_k = valid[:, None] & (inds >= 0)
         if cfg.only_frame >= 0:
@@ -228,11 +252,17 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         return acc, (rows[:, :, 0].reshape(-1), upd.reshape(-1))
 
     xs_all = (valid_batches, inds_batches, vals_batches)
+    if prof_upto in ("gather", "bayes"):
+        _, ys = jax.lax.scan(lambda _, xs: body(None, xs), None, xs_all)
+        return jnp.sum(ys)
     if global_scatter:
         # the accumulator is UNTOUCHED inside this scan — create it after,
         # so the scan does not carry (and copy) the multi-GB buffer
         _, ys = jax.lax.scan(lambda _, xs: body(None, xs), None, xs_all)
         rows_all, upd_all = ys
+        if prof_upto == "stack":
+            return (jnp.sum(rows_all)
+                    + jnp.sum(upd_all.reshape(-1, cfg.pt * d + 1)[:, -1]))
         # same global row order as the sequential in-scan scatters, and
         # XLA's TPU scatter combines duplicate rows in index order, so the
         # result is bitwise identical to the scan-scatter path
@@ -240,6 +270,8 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
             upd_all.reshape(-1, cfg.pt * d + 1), mode="drop")
     else:
         acc, _ = jax.lax.scan(body, make_acc0(), xs_all)
+    if prof_upto == "scatter":
+        return jnp.sum(acc[::997])
     return agg.fold(acc, cfg.pt, cfg.ps, shape)
 
 
@@ -250,19 +282,23 @@ def select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg: StageConfig):
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "shape", "n_dense_batches",
-                                    "qrow0"))
+                                    "qrow0", "prof_upto"))
 def _proc_nl_jit(noisy, basic, clean, fflow, bflow, site_batches,
                  valid_batches, cfg: StageConfig, shape,
-                 n_dense_batches: int = 0, qrow0=None):
+                 n_dense_batches: int = 0, qrow0=None,
+                 prof_upto: str = ""):
     noisy_yuv = color.rgb2yuv(noisy)
     basic_yuv = color.rgb2yuv(basic)
     clean_yuv = color.rgb2yuv(clean)
     srch = select_search_image(noisy_yuv, basic_yuv, clean_yuv, cfg)
 
-    deno_img, wts_img = accumulate(noisy_yuv, basic_yuv, srch, fflow, bflow,
-                                   site_batches, valid_batches, cfg, shape,
-                                   n_dense_batches=n_dense_batches,
-                                   qrow0=qrow0)
+    out = accumulate(noisy_yuv, basic_yuv, srch, fflow, bflow,
+                     site_batches, valid_batches, cfg, shape,
+                     n_dense_batches=n_dense_batches,
+                     qrow0=qrow0, prof_upto=prof_upto)
+    if prof_upto and prof_upto != "full":
+        return out
+    deno_img, wts_img = out
 
     fallback = basic_yuv if cfg.step == 1 else noisy_yuv
     deno_yuv = agg.finalize_img(deno_img, wts_img, fallback)
@@ -313,8 +349,8 @@ def plan_sites(shape, cfg: StageConfig, zero_flow: bool, t_origin: int = 0):
 
 def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
             fflow, bflow, cfg: StageConfig,
-            zero_flow: Optional[bool] = None, t_origin: int = 0
-            ) -> jnp.ndarray:
+            zero_flow: Optional[bool] = None, t_origin: int = 0,
+            prof_upto: str = "") -> jnp.ndarray:
     """Run one VNLB pass; RGB (T,C,H,W) in, RGB denoised out.
 
     ``zero_flow`` selects the dense shared-candidate search (exact for the
@@ -351,4 +387,5 @@ def proc_nl(noisy, basic: Optional[jnp.ndarray], clean: Optional[jnp.ndarray],
             for f in range(end_t))
     return _proc_nl_jit(noisy, basic, clean, fflow, bflow,
                         jnp.asarray(sb), jnp.asarray(vb), cfg, shape,
-                        n_dense_batches=n_dense, qrow0=qrow0)
+                        n_dense_batches=n_dense, qrow0=qrow0,
+                        prof_upto=prof_upto)
