@@ -87,6 +87,52 @@ def im2col_conv(video: jnp.ndarray, ps: int, bf16: bool = True
         preferred_element_type=dty)
 
 
+@functools.partial(jax.jit, static_argnames=("ps", "pt", "bf16"))
+def arena_conv(imgs, ps: int, pt: int, bf16: bool = True) -> jnp.ndarray:
+    """Direct c-major pt-fused (and optionally image-joined) patch arena in
+    ONE one-hot conv: [(T, C, H, W)] x nimg -> (T*H'*W', nimg*C*pt*ps*ps).
+
+    Bitwise equal to im2col_conv -> cols_fuse_pt(c-major) -> lane concat,
+    but the pt-fusion and the noisy/basic join ride the conv kernel's
+    output channels instead of a roll/concat graph — XLA lowered that graph
+    to ~1470 per-(frame, lane) dynamic-update-slices (~0.12 s/pass at 480p
+    traced; scripts/exp_arena.py measures this form ~15% faster end-to-end
+    including the consumer take).  Lane order per image block: (ci, f_off,
+    dy, dx) — gather.cols_fuse_pt's c-major order.  Rows of the last pt-1
+    frames carry frame-wrapped garbage, exactly like cols_fuse_pt's roll;
+    they are never addressed (inds_to_rows clips the base frame)."""
+    imgs = list(imgs)
+    nimg = len(imgs)
+    t, c, h, w = imgs[0].shape
+    d = c * ps * ps
+    dty = jnp.bfloat16 if bf16 else jnp.float32
+    import numpy as np_
+
+    k = np_.zeros((ps, ps, nimg * pt * c, nimg * pt * d), np_.float32)
+    for img in range(nimg):
+        for f in range(pt):
+            for ci in range(c):
+                cin = img * pt * c + f * c + ci
+                for dy in range(ps):
+                    for dx in range(ps):
+                        cout = (img * pt * d + ci * pt * ps * ps
+                                + f * ps * ps + dy * ps + dx)
+                        k[dy, dx, cin, cout] = 1.0
+    planes = []
+    for im in imgs:
+        for f in range(pt):
+            planes.append(im if f == 0 else jnp.roll(im, -f, axis=0))
+    x = jnp.concatenate(planes, axis=1)                # (T, nimg*pt*C, H, W)
+    x = jnp.transpose(x, (0, 2, 3, 1)).astype(dty)
+    out = lax.conv_general_dilated(
+        x, jnp.asarray(k, dty), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=None if bf16 else jax.lax.Precision.HIGHEST,
+        preferred_element_type=dty)
+    hp, wp = h - ps + 1, w - ps + 1
+    return out.reshape(t * hp * wp, nimg * pt * d)
+
+
 def cols_rows(cols: jnp.ndarray):
     """Flatten (T, H', W', D) -> ((T*H'*W', D), (H', W'))."""
     t, hp, wp, d = cols.shape

@@ -301,14 +301,18 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
     # buffers and are masked +inf here (the top-K then selects from the
     # fewer in-bounds candidates — a documented delta vs the C++ sliding
     # window, which keeps w_s^2 candidates by shifting the window inward)
+    # masking is ADDITIVE (+inf) rather than a per-plane select: pred masks
+    # forced per-dt relayouts + select_n ops in the lowering (traced ~0.05 s
+    # per pass); x + inf == inf and x + 0.0 == x exactly, so the additive
+    # form is bitwise identical on the finite candidates
     oob = None
     if cfg.border_mode == "mask":
         dgrid = jnp.arange(w_s, dtype=jnp.int32)
         cy_all = ys[:, None, None] - half + dgrid[None, :, None]
         cx_all = xs[:, None, None] - half + dgrid[None, None, :]
-        oob = ((cy_all < 0) | (cy_all > h - ps)
+        bad = ((cy_all < 0) | (cy_all > h - ps)
                | (cx_all < 0) | (cx_all > w - ps))
-        oob = oob.reshape(s_cnt, w_s * w_s)
+        oob = jnp.where(bad, jnp.inf, 0.0).reshape(s_cnt, w_s * w_s)
 
     def plane(dt):
         """Per-dt candidate distances (S, ws2), +inf-masked."""
@@ -330,9 +334,9 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
 
         f = ts + dt
         valid = (f >= 0) & (f <= t_len - pt)                # (S,)
-        cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
+        cand = cand - cfg.offset + jnp.where(valid, 0.0, jnp.inf)[:, None]
         if oob is not None:
-            cand = jnp.where(oob, jnp.inf, cand)
+            cand = cand + oob
         return cand
 
     ws2 = w_s * w_s
@@ -414,9 +418,10 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
                 cand = cand + lp[di]
             f = ts + dt
             valid = (f >= 0) & (f <= t_len - pt)
-            cand = jnp.where(valid[:, None], cand - cfg.offset, jnp.inf)
+            cand = (cand - cfg.offset
+                    + jnp.where(valid, 0.0, jnp.inf)[:, None])
             if oob is not None:
-                cand = jnp.where(oob, jnp.inf, cand)
+                cand = cand + oob
             all_vals.append(cand)
         # one-shot top-K over the full candidate axis (enumeration dt, dy,
         # dx — identical to the gather path, so ties break identically).

@@ -114,25 +114,33 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     fuse_pt = (cfg.pt > 1 and t_len * hp * wp * cfg.pt * d
                * (2 if cfg.cols_bf16 else 4) <= int(3e9))
 
-    def build_cols(img_yuv):
-        # one-hot-conv unfold (bitwise equal to gather.im2col, one MXU op)
-        cols = gather.im2col_conv(img_yuv, cfg.ps, bf16=cfg.cols_bf16)
-        cols = cols.reshape(t_len * hp * wp, d)
-        # c-major fused lane order: the Bayes (B, c, K, p) relayout then
-        # moves contiguous p-lane blocks (see gather.cols_fuse_pt)
-        return (gather.cols_fuse_pt(cols, cfg.pt, hp * wp, c=c)
-                if fuse_pt else cols)
-
-    cols_noisy = build_cols(noisy_yuv)
-    cols_basic = build_cols(basic_yuv) if cfg.step == 1 else None
     # step 2 gathers noisy AND basic patches at the SAME rows: a lane-joined
     # arena turns the two takes into one (take cost is ~per-row); gate on
     # the joint arena fitting comfortably (long streaming windows fall back)
     join_arenas = (cfg.step == 1 and fuse_pt
                    and 2 * t_len * hp * wp * cfg.pt * d
                    * (2 if cfg.cols_bf16 else 4) <= int(5e9))
-    cols_join = (jnp.concatenate([cols_noisy, cols_basic], axis=1)
-                 if join_arenas else None)
+
+    def build_cols(img_yuv):
+        if fuse_pt:
+            # pt-fusion rides the one-hot conv's output channels
+            # (gather.arena_conv; bitwise equal to unfold + cols_fuse_pt)
+            return gather.arena_conv([img_yuv], cfg.ps, cfg.pt,
+                                     bf16=cfg.cols_bf16)
+        # one-hot-conv unfold (bitwise equal to gather.im2col, one MXU op)
+        cols = gather.im2col_conv(img_yuv, cfg.ps, bf16=cfg.cols_bf16)
+        return cols.reshape(t_len * hp * wp, d)
+
+    if join_arenas:
+        # ONE conv emits the joined c-major pt-fused arena — no roll/concat
+        # relayout graph (scripts/exp_arena.py)
+        cols_join = gather.arena_conv([noisy_yuv, basic_yuv], cfg.ps, cfg.pt,
+                                      bf16=cfg.cols_bf16)
+        cols_noisy = cols_basic = None
+    else:
+        cols_join = None
+        cols_noisy = build_cols(noisy_yuv)
+        cols_basic = build_cols(basic_yuv) if cfg.step == 1 else None
     if prof_upto == "arena":
         arena = cols_join if join_arenas else cols_noisy
         forced = jnp.sum(arena.astype(jnp.float32)[::1009])
