@@ -56,6 +56,44 @@ def fold_conv(acc, pt, ps, shape):
     return deno, weights
 
 
+def _box_full(x, ps):
+    """FULL-padding ps x ps box sum over the last two dims:
+    out[Y, X] = sum_{dy, dx} x[Y-dy, X-dx] (zero outside)."""
+    t, hp, wp = x.shape
+    h, w = hp + ps - 1, wp + ps - 1
+    xr = jnp.pad(x, ((0, 0), (0, ps - 1), (0, ps - 1)))
+    cr = jnp.cumsum(xr, axis=-1)
+    cr = jnp.concatenate([cr[..., :ps], cr[..., ps:] - cr[..., :-ps]],
+                         axis=-1)
+    cc = jnp.cumsum(cr, axis=-2)
+    cc = jnp.concatenate([cc[..., :ps, :], cc[..., ps:, :]
+                          - cc[..., :-ps, :]], axis=-2)
+    return cc
+
+
+def fold_twostage(acc, pt, ps, shape):
+    t_len, c, h, w = shape
+    hp, wp = h - ps + 1, w - ps + 1
+    d = c * ps * ps
+    wv = acc[:, -1].reshape(t_len, hp, wp)
+
+    wfull = _box_full(wv, ps)
+    deno = jnp.zeros((t_len, c, h, w), acc.dtype)
+    weights = jnp.zeros((t_len, h, w), wv.dtype)
+    for j in range(pt):
+        tl = t_len - j
+        weights = weights.at[j:].add(wfull[:tl])
+        a = acc[:, j * d:(j + 1) * d].reshape(t_len, hp, wp, c, ps, ps)
+        a = jnp.transpose(a, (0, 3, 5, 4, 1, 2))   # (T, C, dx, dy, H', W')
+        accx = jnp.zeros((t_len, c, ps, h, wp), acc.dtype)
+        for dy in range(ps):
+            accx = accx.at[:, :, :, dy:dy + hp, :].add(a[:, :, :, dy])
+        for dx in range(ps):
+            deno = deno.at[j:, :, :, dx:dx + wp].add(
+                accx[:t_len - j, :, dx])
+    return deno, weights
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=5)
@@ -76,9 +114,10 @@ def main():
 
     f_ref = jax.jit(lambda a: agg.fold(a, pt, ps, shape))
     f_new = jax.jit(lambda a: fold_conv(a, pt, ps, shape))
+    f_two = jax.jit(lambda a: fold_twostage(a, pt, ps, shape))
 
     outs = {}
-    for name, fn in [("prod", f_ref), ("conv", f_new)]:
+    for name, fn in [("prod", f_ref), ("two", f_two), ("conv", f_new)]:
         dn, wt = fn(acc)
         outs[name] = (dn, wt)
         _ = float(jnp.sum(dn))
@@ -90,9 +129,11 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"{name:5s}: {best:7.4f} s", flush=True)
 
-    dmax = float(jnp.max(jnp.abs(outs["prod"][0] - outs["conv"][0])))
-    wmax = float(jnp.max(jnp.abs(outs["prod"][1] - outs["conv"][1])))
-    print(f"max |deno diff| = {dmax:.3e}   max |wts diff| = {wmax:.3e}")
+    for nm in ("two", "conv"):
+        dmax = float(jnp.max(jnp.abs(outs["prod"][0] - outs[nm][0])))
+        wmax = float(jnp.max(jnp.abs(outs["prod"][1] - outs[nm][1])))
+        print(f"{nm}: max |deno diff| = {dmax:.3e}   "
+              f"max |wts diff| = {wmax:.3e}")
 
 
 if __name__ == "__main__":

@@ -110,6 +110,21 @@ def agg_rows(acc: jnp.ndarray, patches: jnp.ndarray,
     return acc.at[rows_flat].add(upd.reshape(-1, ptd + 1), mode="drop")
 
 
+def _box_full(x: jnp.ndarray, ps: int) -> jnp.ndarray:
+    """FULL-padding ps x ps box sum over the last two dims:
+    out[Y, X] = sum_{dy, dx} x[Y-dy, X-dx] (zero outside) via cumsum
+    differences.  Exact for integer-valued f32 inputs (plain counts stay
+    below 2^24); for fractional weights (agg_weight='exp') it only
+    reorders the 49-term fp sum."""
+    xr = jnp.pad(x, ((0, 0), (0, ps - 1), (0, ps - 1)))
+    cr = jnp.cumsum(xr, axis=-1)
+    cr = jnp.concatenate([cr[..., :ps], cr[..., ps:] - cr[..., :-ps]],
+                         axis=-1)
+    cc = jnp.cumsum(cr, axis=-2)
+    return jnp.concatenate([cc[..., :ps, :],
+                            cc[..., ps:, :] - cc[..., :-ps, :]], axis=-2)
+
+
 @functools.partial(jax.jit, static_argnames=("pt", "ps", "shape"))
 def fold(acc: jnp.ndarray, pt: int, ps: int, shape
          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -117,25 +132,37 @@ def fold(acc: jnp.ndarray, pt: int, ps: int, shape
 
     acc (N, pt*C*ps*ps + 1) with N = T*H'*W' (lane block j = temporal patch
     plane j, scattered at the plane-0 base row; last lane = weight counts,
-    see agg_rows) -> deno (T, C, H, W), weights (T, H, W): every
-    (plane, patch-pixel) offset is one dense shifted add.
+    see agg_rows) -> deno (T, C, H, W), weights (T, H, W).
+
+    SEPARABLE two-stage fold: the naive form is ps*ps lane-AND-sublane
+    misaligned shifted adds per plane (each a relayout — traced ~8x off
+    HBM bandwidth); instead stage A sums the ps dy-offsets into a
+    (T, C, ps_dx, H, W') buffer (adds aligned in the minor dim) and stage B
+    applies the ps remaining dx lane shifts (measured ~20% faster
+    standalone, scripts/exp_fold.py; the dense-conv col2im variant measured
+    6.6x SLOWER and is kept there as a documented dead end).  The weight
+    lane folds as one cumsum box sum (49 shifted adds of the same plane =
+    a full-padding box filter).  Per-pixel sums keep the same addend sets;
+    only fp add order changes (exact for 0/1 count weights).
     """
     t_len, c, h, w = shape
     hp, wp = h - ps + 1, w - ps + 1
     d = c * ps * ps
     wv = acc[:, -1].reshape(t_len, hp, wp)
 
+    wfull = _box_full(wv, ps)
     deno = jnp.zeros((t_len, c, h, w), acc.dtype)
     weights = jnp.zeros((t_len, h, w), wv.dtype)
     for j in range(pt):
-        a = acc[:, j * d:(j + 1) * d].reshape(t_len, hp, wp, c, ps, ps)
-        a = jnp.transpose(a, (0, 3, 4, 5, 1, 2))        # (T, C, ps, ps, H', W')
         tl = t_len - j
+        weights = weights.at[j:].add(wfull[:tl])
+        a = acc[:, j * d:(j + 1) * d].reshape(t_len, hp, wp, c, ps, ps)
+        a = jnp.transpose(a, (0, 3, 5, 4, 1, 2))    # (T, C, dx, dy, H', W')
+        accx = jnp.zeros((t_len, c, ps, h, wp), acc.dtype)
         for dy in range(ps):
-            for dx in range(ps):
-                deno = deno.at[j:, :, dy:dy + hp, dx:dx + wp].add(
-                    a[:tl, :, dy, dx])
-                weights = weights.at[j:, dy:dy + hp, dx:dx + wp].add(wv[:tl])
+            accx = accx.at[:, :, :, dy:dy + hp, :].add(a[:, :, :, dy])
+        for dx in range(ps):
+            deno = deno.at[j:, :, :, dx:dx + wp].add(accx[:tl, :, dx])
     return deno, weights
 
 

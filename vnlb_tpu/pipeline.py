@@ -253,11 +253,17 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         vm = wts_k[:, :, None].astype(pfilt.dtype)
         upd = jnp.concatenate(
             [pfilt.reshape(b_, k_, cfg.pt * d) * vm, vm], axis=-1)
-        # stack FLATTENED: the scan's per-step dynamic-update-slice into the
-        # (nb, B, K, ptd+1) buffer relayouts the (ptd+1)-lane minor dim
-        # (295 lanes pad to 384 in vregs — traced at ~14 GB/s effective);
-        # a 1-D row write is a plain contiguous copy
-        return acc, (rows[:, :, 0].reshape(-1), upd.reshape(-1))
+        # stack FLATTENED, folded to (8, flat/8): the natural (B, K, ptd+1)
+        # stack relayouts the 295-lane minor dim (pads to 384 in vregs,
+        # traced ~14 GB/s), and a fully-flat (nb, flat) stack tiles the nb
+        # dim in (8, 128) tiles so each iteration writes 1 of 8 sublanes
+        # (read-modify-write, traced ~39 GB/s).  An (8, flat/8) row makes
+        # every per-step dynamic-update-slice cover whole tiles; the final
+        # (-1, ptd+1) reshape stays a free bitcast.
+        updf = upd.reshape(-1)
+        if updf.shape[0] % 8 == 0:
+            updf = updf.reshape(8, -1)
+        return acc, (rows[:, :, 0].reshape(-1), updf)
 
     xs_all = (valid_batches, inds_batches, vals_batches)
     if prof_upto in ("gather", "bayes"):
