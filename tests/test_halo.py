@@ -104,3 +104,37 @@ def test_halo_with_flow_matches_single_device(clip):
     got = np.asarray(proc_nl_halo(noisy, None, fflow, bflow, cfg, mesh))
     want = np.asarray(proc_nl(noisy, None, None, fflow, bflow, cfg))
     _assert_close(got, want)
+
+
+def test_fold_in_shardmap():
+    """Regression: agg.fold must give identical results inside and outside
+    shard_map.  jax 0.9.0's XLA:CPU miscompiles a
+    ``weights.at[j:].add(box_full(wv)[:tl])`` dynamic-update-slice-add of a
+    cumsum-derived operand inside shard_map (wrong weights on every tile,
+    >100 gray levels of final error on the pt=2 stage); agg.fold uses a
+    concat-shifted weight sum instead.  This pins the fixed form."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from vnlb_tpu.ops import agg
+
+    ps, pt, t_len = 7, 2, 3
+    h, w = 42, 56
+    hp, wp = h - ps + 1, w - ps + 1
+    d = 3 * ps * ps
+    rng = np.random.default_rng(0)
+    acc_all = rng.normal(
+        size=(4, t_len * hp * wp, pt * d + 1)).astype(np.float32)
+    acc_all[..., -1] = rng.integers(
+        0, 5, size=acc_all.shape[:-1]).astype(np.float32)
+
+    shape = (t_len, 3, h, w)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("d",))
+    f = jax.jit(jax.shard_map(
+        lambda a: tuple(x[None] for x in agg.fold(a[0], pt, ps, shape)),
+        mesh=mesh, in_specs=(P("d"),), out_specs=(P("d"), P("d"))))
+    deno_s, wts_s = f(acc_all)
+    for i in range(4):
+        deno_i, wts_i = agg.fold(acc_all[i], pt, ps, shape)
+        np.testing.assert_array_equal(np.asarray(wts_s[i]), np.asarray(wts_i))
+        np.testing.assert_allclose(np.asarray(deno_s[i]),
+                                   np.asarray(deno_i), atol=1e-4)

@@ -152,10 +152,18 @@ def fold(acc: jnp.ndarray, pt: int, ps: int, shape
 
     wfull = _box_full(wv, ps)
     deno = jnp.zeros((t_len, c, h, w), acc.dtype)
-    weights = jnp.zeros((t_len, h, w), wv.dtype)
+    # weight lane: sum the pt frame-shifted copies of the box-summed counts.
+    # Deliberately CONCAT-shifted, not ``weights.at[j:].add(wfull[:tl])``:
+    # that dynamic-update-slice-add of a cumsum-derived operand miscompiles
+    # inside shard_map on XLA:CPU (jax 0.9.0) — wrong weights on every
+    # sharded tile while the identical graph is correct outside shard_map
+    # (minimal repro preserved in tests/test_halo.py::test_fold_in_shardmap).
+    weights = wfull
+    for j in range(1, pt):
+        weights = weights + jnp.concatenate(
+            [jnp.zeros((j, h, w), wv.dtype), wfull[:t_len - j]], axis=0)
     for j in range(pt):
         tl = t_len - j
-        weights = weights.at[j:].add(wfull[:tl])
         a = acc[:, j * d:(j + 1) * d].reshape(t_len, hp, wp, c, ps, ps)
         a = jnp.transpose(a, (0, 3, 5, 4, 1, 2))    # (T, C, dx, dy, H', W')
         accx = jnp.zeros((t_len, c, ps, h, wp), acc.dtype)
