@@ -145,3 +145,27 @@ def test_packed_poly_matches_unpacked():
                                     cfg.replace(poly_pack2=False)))
     # identical math up to bf16 storage rounding of reordered combines
     assert np.abs(a - b).max() / np.abs(b).max() < 5e-3
+
+
+def test_coarse_smat_kernel_matches_dense_interpret():
+    """The COARSE-level strided kernel (ops/pallas_smat.smat_distances_coarse
+    via coarse_plan) vs the all-dense XLA path, needle mode: same 1%-relative
+    value / tie-tolerant index protocol as the level-0 kernel test."""
+    rng = np.random.default_rng(13)
+    video = rng.uniform(0, 255, (3, 3, 48, 52)).astype(np.float32)
+    cfg = default_config(20.0, preset="iphone").stage(0).replace(
+        nwt_b=1, nwt_f=1, npatches=10, stype="needle", border_mode="mask",
+        dense_impl="pallas")
+    sites = lattice_sites(video.shape, cfg)
+    v, s = jnp.asarray(video), jnp.asarray(sites)
+    fv, fi = exec_search_dense(
+        v, s, cfg.replace(dense_rows="full", dense_impl="xla"))
+    sv, si = exec_search_dense(v, s, cfg, qrow0=_phases(video.shape, cfg))
+    fv, fi, sv, si = map(np.asarray, (fv, fi, sv, si))
+
+    fin = np.isfinite(fv)
+    rel = np.abs(sv - fv) / np.maximum(np.abs(fv), 1e-2)
+    assert np.nanmax(np.where(fin, rel, 0)) < 0.01, rel.max()
+    mism = (si != fi) & fin
+    assert np.all(rel[mism] < 0.01)
+    assert (si == fi).mean() > 0.8, (si == fi).mean()

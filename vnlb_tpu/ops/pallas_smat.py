@@ -162,6 +162,136 @@ def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
     return ts * (rowpad * ncpad) + row_pm * ncpad + col
 
 
+def coarse_plan(qrow0, lvl: int, hp0: int, wp0: int, h_l: int, w_l: int,
+                ps: int, w_s: int, step: int):
+    """Static plan for the strided-query COARSE (needle-pyramid) search.
+
+    Level-``lvl`` query positions are the full-res lattice positions scaled
+    and CLAMPED into the clamp-free band (ops/search_dense._site_rows):
+    yc = clip(y >> lvl, half, h_l - ps - half), same for columns.  When the
+    full-res stride divides by 2**lvl the scaled rows/columns still form
+    strided lattices (stride step/2**lvl) plus two clamp values per axis —
+    the same structure the level-0 smat layout encodes with its first/last
+    spare slots — so the selection-matmul kernel applies unchanged with a
+    generalized plan: per-frame row slots grouped in ``step_l`` blocks by
+    COARSE column phase ((phase_w % step) >> lvl: the 2**lvl full-res column
+    phases of a block scale to ONE coarse column lattice), per-block
+    canonical column slots [lo-clamp, hi-clamp, strided cols], and clamped
+    rows/cols riding extra slots of their block.
+
+    Returns a dict of static numpy arrays:
+      step_l, gmax, rowpad, nc, ncpad          — layout numbers
+      sy (F, rowpad, hpad_l) f32               — y box-sum row selection
+      sx (step_l, wpad_l, ncpad) f32           — x box-sum col selection
+      row_slot (F, hp0) int32, row_block (F, hp0) int32 — full-res lattice
+         row y -> its layout row / block (garbage at non-lattice rows)
+      col_slot (step_l, wp0) int32             — block, full-res lattice
+         col x -> column slot (garbage at non-lattice cols)
+      sel (F, rowpad, ncpad) int64             — flat (F*hp_l*wp_l) dense-
+         plane index per slot (the XLA selection fallback; garbage -> 0)
+    """
+    scale = 1 << lvl
+    if step % scale:
+        raise ValueError(f"stride {step} not divisible by 2^{lvl}")
+    step_l = step // scale
+    half = (w_s - 1) // 2
+    lo = half
+    hi_r = max(h_l - ps - lo, 0)
+    hi_c = max(w_l - ps - lo, 0)
+    hp_l, wp_l = h_l - ps + 1, w_l - ps + 1
+    f_cnt = len(qrow0)
+    hpad = _rup(h_l, 128)
+    wpad = _rup(w_l, 128)
+
+    def cl_r(v):
+        return min(max(v, lo), hi_r)
+
+    def cl_c(v):
+        return min(max(v, lo), hi_c)
+
+    # --- per-block canonical column slots (frame-independent) ---
+    col_vals = []                           # per block: sorted coarse cols
+    col_lut = {}                            # (g, x_fullres) -> slot
+    for g in range(step_l):
+        vals = []
+        seen = {}
+        xs_full = {0, wp0 - 1}
+        for pw in range(g * scale, (g + 1) * scale):
+            xs_full |= set(range(pw, wp0, step))
+        for x in sorted(xs_full):
+            xc = cl_c(x >> lvl)
+            if xc not in seen:
+                seen[xc] = len(vals)
+                vals.append(xc)
+            col_lut[(g, x)] = seen[xc]
+        col_vals.append(vals)
+    nc = max(len(v) for v in col_vals)
+    ncpad = _rup(nc, 128)
+
+    # --- per-frame row slots, grouped by coarse column phase ---
+    rows_fb = []                            # [f][g] -> list of coarse yc
+    for f in range(f_cnt):
+        ph = int(qrow0[f]) % step
+        ys = sorted({0, hp0 - 1} | set(range(ph, hp0, step)))
+        blocks = [[] for _ in range(step_l)]
+        for y in ys:
+            pw = 0 if y == hp0 - 1 else (ph + y // step) % step
+            g = pw // scale
+            yc = cl_r(y >> lvl)
+            if yc not in blocks[g]:
+                blocks[g].append(yc)
+        rows_fb.append(blocks)
+    gmax = max(len(b) for blocks in rows_fb for b in blocks)
+    rowpad = _rup(step_l * gmax, 16)
+
+    sy = np.zeros((f_cnt, rowpad, hpad), np.float32)
+    sx = np.zeros((step_l, wpad, ncpad), np.float32)
+    row_slot = np.zeros((f_cnt, hp0), np.int32)
+    row_block = np.zeros((f_cnt, hp0), np.int32)
+    col_slot = np.zeros((step_l, wp0), np.int32)
+    sel = np.zeros((f_cnt, rowpad, ncpad), np.int64)
+
+    for g in range(step_l):
+        for m, xc in enumerate(col_vals[g]):
+            sx[g, xc:xc + ps, m] = 1.0
+    for (g, x), slot in col_lut.items():
+        col_slot[g, x] = slot
+
+    for f in range(f_cnt):
+        ph = int(qrow0[f]) % step
+        ys = sorted({0, hp0 - 1} | set(range(ph, hp0, step)))
+        for y in ys:
+            pw = 0 if y == hp0 - 1 else (ph + y // step) % step
+            g = pw // scale
+            yc = cl_r(y >> lvl)
+            j = rows_fb[f][g].index(yc)
+            row_slot[f, y] = g * gmax + j
+            row_block[f, y] = g
+        for g in range(step_l):
+            for j, yc in enumerate(rows_fb[f][g]):
+                sy[f, g * gmax + j, yc:yc + ps] = 1.0
+                for m, xc in enumerate(col_vals[g]):
+                    sel[f, g * gmax + j, m] = (f * (hp_l * wp_l)
+                                               + yc * wp_l + xc)
+
+    return dict(step_l=step_l, gmax=gmax, rowpad=rowpad, nc=nc, ncpad=ncpad,
+                hpad=hpad, wpad=wpad, sy=sy, sx=sx, row_slot=row_slot,
+                row_block=row_block, col_slot=col_slot, sel=sel)
+
+
+def site_rows_coarse(sites, plan, rowpad: int, ncpad: int):
+    """Flat index of each full-res LATTICE site into the (F, rowpad, ncpad)-
+    flattened coarse smat output (device-side; luts are trace-time consts)."""
+    ts, ys, xs = sites[:, 0], sites[:, 1], sites[:, 2]
+    row_slot = jnp.asarray(plan["row_slot"])
+    row_block = jnp.asarray(plan["row_block"])
+    col_slot = jnp.asarray(plan["col_slot"])
+    r = row_slot[ts, ys]
+    g = row_block[ts, ys]
+    c = col_slot[g, xs]
+    return ts * (rowpad * ncpad) + r * ncpad + c
+
+
 def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
             vq_s, vd_s, sy_s, sx_s, sems, *, w_s, step, gmax,
             ptc, hpad, wpad, rowpad, ncpad, mm_f32, v2):
@@ -260,6 +390,82 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
     v2 = bool(int(os.environ.get("VNLB_SMAT_V2", "0")))
     return _smat_distances_jit(vq, vd, qrow0, ps, w_s, step, interpret,
                                mm_f32, v2)
+
+
+def smat_distances_coarse(vq, vd, qrow0, lvl: int, hp0: int, wp0: int,
+                          ps: int, w_s: int, step: int,
+                          interpret: bool = False):
+    """Coarse-level strided-query distances (layout: ``coarse_plan``), one
+    temporal offset.  vq/vd are the LEVEL-``lvl`` frame stacks."""
+    mm_f32 = bool(int(os.environ.get("VNLB_SMAT_MM_F32", "0")))
+    return _smat_coarse_jit(vq, vd, qrow0, lvl, hp0, wp0, ps, w_s, step,
+                            interpret, mm_f32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "qrow0", "lvl", "hp0", "wp0", "ps", "w_s", "step", "interpret",
+    "mm_f32"))
+def _smat_coarse_jit(vq, vd, qrow0, lvl: int, hp0: int, wp0: int, ps: int,
+                     w_s: int, step: int, interpret: bool, mm_f32: bool):
+    """Returns (F, w_s*w_s, rowpad, ncpad) f32 squared distances at the
+    clamped coarse query positions (garbage at unused slots).  Same kernel
+    as level 0; only the static selection plan differs.  Coarse queries are
+    clamped into the clamp-free band, so no candidate is ever out of
+    bounds (the zero-padding semantics are never exercised)."""
+    f_cnt, ptc, h, w = vq.shape
+    half = (w_s - 1) // 2
+    plan = coarse_plan(qrow0, lvl, hp0, wp0, h, w, ps, w_s, step)
+    step_l, gmax = plan["step_l"], plan["gmax"]
+    rowpad, ncpad = plan["rowpad"], plan["ncpad"]
+    hpad, wpad = plan["hpad"], plan["wpad"]
+    hdpad = _rup(hpad + w_s - 1, 8)
+    wdpad = _rup(wpad + w_s - 1, 128)
+
+    chunk0 = min(ptc, 3)
+    scratch = chunk0 * (hpad * wpad + hdpad * wdpad)
+    selsz = rowpad * hpad + step_l * wpad * ncpad
+    out_blk = 2 * w_s * rowpad * ncpad * 4
+    f32 = (scratch * 4 + selsz * (4 if mm_f32 else 2)
+           + out_blk) <= 100 * 1024 * 1024
+    pdty = jnp.float32 if f32 else jnp.bfloat16
+    mdty = jnp.float32 if mm_f32 else jnp.bfloat16
+
+    vq_p = jnp.pad(vq, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w))
+                   ).astype(pdty)
+    vd_p = jnp.pad(vd, ((0, 0), (0, 0),
+                        (half, hdpad - h - half),
+                        (half, wdpad - w - half))).astype(pdty)
+    sy = jnp.asarray(plan["sy"]).astype(mdty)
+    sx = jnp.asarray(plan["sx"]).astype(mdty)
+
+    out = None
+    for p0 in range(0, ptc, chunk0):
+        pc = min(chunk0, ptc - p0)
+        kernel = functools.partial(
+            _kernel, w_s=w_s, step=step_l, gmax=gmax, ptc=pc, hpad=hpad,
+            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32, v2=False)
+        part = pl.pallas_call(
+            kernel,
+            grid=(f_cnt, w_s),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+            out_specs=pl.BlockSpec(
+                (1, w_s, rowpad, ncpad), lambda f, a: (f, a, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (f_cnt, w_s * w_s, rowpad, ncpad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((pc, hpad, wpad), pdty),
+                pltpu.VMEM((pc, hdpad, wdpad), pdty),
+                pltpu.VMEM((rowpad, hpad), mdty),
+                pltpu.VMEM((step_l, wpad, ncpad), mdty),
+                pltpu.SemaphoreType.DMA((2 * pc + 2,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(vq_p[:, p0:p0 + pc], vd_p[:, p0:p0 + pc], sy, sx)
+        out = part if out is None else out + part
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -220,6 +220,67 @@ def _level_dense_smat(video, cfg: StageConfig, qrow0):
     return per_dt
 
 
+def _level_dense_smat_coarse(video_lvl, cfg: StageConfig, qrow0, lvl: int,
+                             hp0: int, wp0: int):
+    """Strided-query distances for a COARSE needle level (zero flow).
+
+    The coarse query positions are the clamped scaled lattice positions
+    (``_site_rows``); when the full-res stride divides by 2**lvl they form
+    a stride step/2**lvl lattice plus clamp rows/cols, so the smat
+    machinery applies with the generalized ``coarse_plan`` layout (the
+    dense all-pixels coarse path computed ~step_l^2 more box-sum work AND
+    a 4x larger output buffer at the production stride).  TPU: the Pallas
+    selection-matmul kernel (fp-rounding-close); elsewhere: pure selection
+    from the dense coarse planes (bit-equal by construction).
+
+    Returns per_dt(dt) -> (F, ws2, rowpad, ncpad) in coarse_plan layout.
+    """
+    t_len, _, h_l, w_l = video_lvl.shape
+    ps, pt, c_d, w_s = cfg.ps, cfg.pt, cfg.dist_chnls, cfg.w_s
+    f_cnt = t_len - pt + 1
+
+    use_pallas = (cfg.dense_impl == "pallas"
+                  or (cfg.dense_impl == "auto"
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from .pallas_smat import smat_distances_coarse
+
+        interp = jax.default_backend() != "tpu"
+        vc = video_lvl[:, :c_d]
+
+        def stack_pt(x):
+            return jnp.concatenate(
+                [x[f:f + f_cnt] for f in range(pt)], axis=1)
+
+        vq = stack_pt(vc)
+
+        def per_dt(dt):
+            vd = stack_pt(jnp.roll(vc, -dt, axis=0))
+            return smat_distances_coarse(vq, vd, qrow0, lvl, hp0, wp0,
+                                         ps, w_s, cfg.step_s,
+                                         interpret=interp)
+
+        return per_dt
+
+    # XLA: select the coarse_plan layout out of the dense coarse planes
+    from .pallas_smat import coarse_plan
+
+    plan = coarse_plan(qrow0, lvl, hp0, wp0, h_l, w_l, ps, w_s, cfg.step_s)
+    rowpad, ncpad = plan["rowpad"], plan["ncpad"]
+    flat_sel = jnp.asarray(plan["sel"].reshape(-1))
+    hp_l, wp_l = h_l - ps + 1, w_l - ps + 1
+    per_dt_full = _level_dense(video_lvl, cfg.replace(dense_impl="xla"))
+
+    def per_dt(dt):
+        d_all = per_dt_full(dt)                    # (ws2, F, H', W')
+        d2 = d_all.reshape(w_s * w_s, f_cnt * hp_l * wp_l)
+        sel = jnp.take(d2, flat_sel, axis=1)
+        return jnp.transpose(
+            sel.reshape(w_s * w_s, f_cnt, rowpad, ncpad), (1, 0, 2, 3))
+
+    return per_dt
+
+
 def _site_rows(sites, scale, hp, wp, h_lvl, w_lvl, ps, half):
     """Flat row index of each (possibly pyramid-scaled) site into
     (F, H', W')-flattened dense buffers.
@@ -272,17 +333,32 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
             videos.append(_avg_pool2(videos[-1]))
 
     per_dt_fns = [_level_dense(v, cfg) for v in videos]
+    smat_rows = {}          # lvl -> (site rows, rowpad, ncpad)
     if qrow0 is not None:
-        # level 0 rides the strided-query path (coarse levels keep the
-        # all-rows path: their query rows y // 2^lvl do not form one
-        # arithmetic stride, and they are 4^lvl smaller anyway)
-        from .pallas_smat import site_rows_smat, smat_layout
+        # strided-query paths: level 0 always; coarse levels whenever the
+        # stride divides by 2^lvl (their clamped scaled query lattice then
+        # keeps the strided structure — coarse_plan; otherwise the scaled
+        # rows are not one arithmetic stride and the level stays all-rows)
+        from .pallas_smat import (coarse_plan, site_rows_coarse,
+                                  site_rows_smat, smat_layout)
 
         per_dt_fns[0] = _level_dense_smat(video, cfg, qrow0)
         hp0, wp0 = h - ps + 1, w - ps + 1
         _, _, rowpad0, _, ncpad0 = smat_layout(hp0, wp0, cfg.step_s)
-        rows_strided = site_rows_smat(sites, qrow0, cfg.step_s, hp0, wp0,
-                                      ncpad0, rowpad0)
+        smat_rows[0] = (site_rows_smat(sites, qrow0, cfg.step_s, hp0, wp0,
+                                       ncpad0, rowpad0), rowpad0, ncpad0)
+        for lvl in range(1, len(videos)):
+            if cfg.step_s % (1 << lvl):
+                continue
+            v_l = videos[lvl]
+            per_dt_fns[lvl] = _level_dense_smat_coarse(
+                v_l, cfg, qrow0, lvl, hp0, wp0)
+            plan = coarse_plan(qrow0, lvl, hp0, wp0, v_l.shape[2],
+                               v_l.shape[3], ps, w_s, cfg.step_s)
+            smat_rows[lvl] = (
+                site_rows_coarse(sites, plan, plan["rowpad"],
+                                 plan["ncpad"]),
+                plan["rowpad"], plan["ncpad"])
 
     ts = sites[:, 0]
     ys = sites[:, 1]
@@ -318,11 +394,12 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
         """Per-dt candidate distances (S, ws2), +inf-masked."""
         cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
         for lvl, (v, fn) in enumerate(zip(videos, per_dt_fns)):
-            if lvl == 0 and qrow0 is not None:
-                buf = fn(dt)                               # (F, ws2, RT, W')
+            if lvl in smat_rows:
+                rows_l = smat_rows[lvl][0]
+                buf = fn(dt)                               # (F, ws2, RT, NC)
                 flat = jnp.transpose(buf, (0, 2, 3, 1)).reshape(-1,
                                                                w_s * w_s)
-                cand = cand + jnp.take(flat, rows_strided, axis=0) / norm
+                cand = cand + jnp.take(flat, rows_l, axis=0) / norm
                 continue
             d_all = fn(dt)                                  # (ws2, F, H', W')
             lh, lw = v.shape[2], v.shape[3]
@@ -384,9 +461,9 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
             """[per-dt (S, ws2)] contributions of one pyramid level."""
             lh, lw = v.shape[2], v.shape[3]
             hp_l, wp_l = lh - ps + 1, lw - ps + 1
-            if lvl == 0 and qrow0 is not None:
-                rows_l = rows_strided
-                pos = (t_len - pt + 1) * rowpad0 * ncpad0
+            if lvl in smat_rows:
+                rows_l, rp_l, ncp_l = smat_rows[lvl]
+                pos = (t_len - pt + 1) * rp_l * ncp_l
 
                 def tobuf(b):                      # (F, ws2, RT, NC)
                     return jnp.transpose(b, (0, 2, 3, 1)).reshape(pos, ws2)
