@@ -106,6 +106,56 @@ def test_halo_with_flow_matches_single_device(clip):
     _assert_close(got, want)
 
 
+def test_halo_1080_row_autopad():
+    """The BASELINE v5e-8 shape: H=1080 does not split into 8 valid strips
+    (1080/8 = 135, odd), so proc_nl_halo edge-pads to 1088 (8 strips of
+    136), processes, and crops back (halo.py:384-404).
+
+    Two pins:
+      1. EXACT: the auto-pad path equals running the same halo mesh on a
+         hand-edge-padded 1088-row video and cropping — the pad/crop wiring
+         adds nothing beyond the pad itself.
+      2. SEMANTIC: vs the unpadded single-device run the mean error stays
+         at the near-tie-swap noise floor of the other halo pins (at this
+         frame area the pointwise max is dominated by generic tile-cumsum
+         tie swaps, not the pad — measured identical with and without
+         padding — so the pointwise pin lives in the small-clip tests).
+
+    Small W + coarse lattice + 1-frame temporal window keep the 8-device
+    CPU-mesh runs tractable; the auto-pad math is identical at full size.
+    """
+    h, w = 1080, 32
+    clean = synthetic_video(2, h, w, seed=11)
+    noisy = add_noise(clean, 20.0, seed=12)
+    zf = np.zeros((2, 2, h, w), np.float32)
+    cfg = default_config(20.0, preset="iphone", nwt_f=[1, 1],
+                         nwt_b=[1, 1]).stage(0).replace(
+        border_mode="mask", bsize=64, step_s=9)
+
+    mesh = make_mesh(8, axis="h")
+    got = np.asarray(proc_nl_halo(noisy, None, zf, zf, cfg, mesh))
+    assert got.shape == noisy.shape  # cropped back from the padded 1088
+
+    # 1. exact equality with a hand-padded run (1088 = 8 strips of 136)
+    pad = ((0, 0), (0, 0), (0, 8), (0, 0))
+    noisy_p = np.pad(noisy, pad, mode="edge")
+    zf_p = np.pad(zf, pad, mode="edge")
+    manual = np.asarray(proc_nl_halo(noisy_p, None, zf_p, zf_p, cfg, mesh))
+    np.testing.assert_array_equal(got, manual[:, :, :h])
+
+    # 2. pad-semantics sanity vs the unpadded single-device run.  The pad
+    # legitimately moves the always-on bottom-border lattice rows (from
+    # end_h-1=1074 to 1082), so the last window+patch rows genuinely
+    # differ; above that band the error must sit at the same near-tie-swap
+    # noise floor as the no-pad halo runs.
+    want = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
+    assert np.isfinite(got).all()
+    band = (cfg.w_s - 1) // 2 + 2 * cfg.ps           # pad-affected rows
+    diff = np.abs(got - want)
+    assert diff[:, :, :-band].mean() < 0.03, diff[:, :, :-band].mean()
+    assert diff[:, :, -band:].max() < 40.0, diff[:, :, -band:].max()
+
+
 def test_fold_in_shardmap():
     """Regression: agg.fold must give identical results inside and outside
     shard_map.  jax 0.9.0's XLA:CPU miscompiles a

@@ -29,7 +29,7 @@ reference's q2 + b2 - 2*cross decomposition exactly in real arithmetic
 (including at zero-padded out-of-bounds candidates) and is better
 conditioned; values differ from the dense path only in fp rounding, so the
 parity tests compare with tolerance + tie-aware index checks
-(tests/test_search_smat.py).
+(tests/test_search_strided.py).
 
 Row layout ("c-major"): the lattice's column phase advances by one per
 query row (phase_w = (phase_h + k) % step, mask.py:67).  Query rows are

@@ -168,7 +168,7 @@ def _level_dense_smat(video, cfg: StageConfig, qrow0):
     #1): the MXU selection-matmul kernel (ops/pallas_smat.py) on TPU, pure
     row/column selection from the dense XLA planes elsewhere (bit-equal to
     the dense path by construction there; the kernel's squared-difference
-    form is fp-rounding-close and pinned by tests/test_search_smat.py).
+    form is fp-rounding-close and pinned by tests/test_search_strided.py).
 
     Returns per_dt(dt) -> (F, ws2, rowpad, ncpad) in the phase-major
     compressed layout of ops/pallas_smat.site_rows_smat.
