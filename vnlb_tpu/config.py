@@ -167,10 +167,14 @@ class StageConfig:
                                     # the 128-lane tile; packing halves the
                                     # matmul op count at identical math)
     poly_impl: str = "xla"          # poly path backend: "xla" (ops/polyspec
-                                    # — XLA's batched matmuls pipeline the
-                                    # MXU across groups; measured FASTER
-                                    # than the fused kernel) | "pallas"
-                                    # (ops/pallas_poly, VMEM-resident)
+                                    # batched matmuls) | "fused"
+                                    # (ops/pallas_filter: multi-group
+                                    # VMEM-resident econ kernel, STEP-major
+                                    # group interleave; falls back to xla
+                                    # when the pack2 gates fail) | "pallas"
+                                    # (ops/pallas_poly, the round-2
+                                    # group-major kernel; kept as the
+                                    # documented slower design)
 
     # -- derived --
     @property

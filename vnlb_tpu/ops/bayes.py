@@ -115,7 +115,28 @@ def bayes_denoise(pnoisy: jnp.ndarray, pbasic: Optional[jnp.ndarray],
 
     if cfg.eig_method in ("rational", "poly"):
         if cfg.eig_method == "poly":
-            if cfg.poly_impl == "pallas":
+            g_f, k_f, p_f = xc2.shape
+            use_fused = (cfg.poly_impl == "fused" and cfg.poly_econ
+                         and cfg.poly_pack2 and g_f % 2 == 0 and g_f >= 2
+                         and ((k_f < p_f and cfg.poly_gram
+                               and 2 * k_f <= 128)
+                              or (k_f >= p_f and 2 * p_f <= 128)))
+            if use_fused:
+                # multi-group VMEM-resident econ kernel (ops/pallas_filter):
+                # same math as the packed polyspec routes, MXU kept full by
+                # step-major group interleaving
+                interp = jax.default_backend() != "tpu"
+                if k_f < p_f:
+                    from .pallas_filter import poly_econ_gram_packed_pallas
+
+                    xf = poly_econ_gram_packed_pallas(xc2, xn2, cfg,
+                                                      interpret=interp)
+                else:
+                    from .pallas_filter import poly_econ_packed_pallas
+
+                    xf = poly_econ_packed_pallas(xc2, xn2, cfg,
+                                                 interpret=interp)
+            elif cfg.poly_impl == "pallas":
                 from .pallas_poly import poly_filter_pallas
 
                 xf = poly_filter_pallas(xc2, xn2, k, cfg)
