@@ -25,6 +25,16 @@ matmuls are mutually independent and issue back-to-back, keeping the
 systolic array full; the dependency latency is paid once per step, not
 once per (step x group).
 
+TPU VERDICT (2026-08-19, dispatch-amortized A/B,
+scripts/profile_filter_amortized.py — 16 dependent batches inside one jit
+so tunnel dispatch amortizes): XLA WINS.  stage 1 (K=60, p=98): xla
+1.645 ms/batch vs fused 1.964 (0.84x); stage 0 (K=100, p=49): 1.653 vs
+1.855 (0.89x).  The earlier standalone "10x" (profile_pallas_filter.py)
+was tunnel-dispatch artifact on the un-jitted XLA side.  The ~300 ns/group
+batched-matmul floor is therefore NOT recoverable by VMEM residency at
+these shapes — XLA's batched lowering already pipelines group-major;
+``poly_impl='fused'`` stays available but the default remains 'xla'.
+
 Semantics are the polyspec econ+pack2 routes verbatim — same masked
 stacked products, same per-block lub bounds, same smoothed-gate transfer
 values, same bf16 cast points (``st()``) — so the existing sigma-sweep
@@ -192,8 +202,9 @@ def _filter_kernel(xc_ref, xn_ref, xs_ref, gmap_ref, v0_ref, out_ref, *,
 
     def coef_fn(g, i, r):
         g0, g1 = coefs[g]
-        c0 = jax.lax.dynamic_slice(g0, (0, i * s + r), (1, 1))
-        c1 = jax.lax.dynamic_slice(g1, (0, i * s + r), (1, 1))
+        idx = i * s + r                                     # static
+        c0 = g0[:, idx:idx + 1]                             # (1, 1)
+        c1 = g1[:, idx:idx + 1]
         return col_lo * c0 + (1.0 - col_lo) * c1            # (1, qpad)
 
     fmats = _chain_steps(ghs, coef_fn, m, s, mx, eye)
