@@ -117,3 +117,19 @@ def test_agg_weight_exp():
     assert np.abs(out_u - out_e).max() > 1e-3
     p_u, p_e = compute_psnr(out_u, clean), compute_psnr(out_e, clean)
     assert abs(p_u - p_e) < 0.3, (p_u, p_e)
+
+
+def test_agg_bf16_stack():
+    """agg_bf16 stacks the deferred-scatter updates in bf16: output changes
+    only by the bf16 rounding of the filtered patch values (the f32
+    accumulator itself is unchanged), gated at <=0.05 dB on this clip.
+    The bench-scale gate (<=0.02 dB at 480p) is recorded in STATUS.md."""
+    clean, noisy, zf = _clip()
+    cfg = default_config(20.0, preset="iphone").stage(0)
+    out_f = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
+    out_b = np.asarray(proc_nl(noisy, None, None, zf, zf,
+                               cfg.replace(agg_bf16=True)))
+    assert np.abs(out_f - out_b).max() > 0        # it does round something
+    p_f = compute_psnr(out_f, clean)
+    p_b = compute_psnr(out_b, clean)
+    assert abs(p_f - p_b) <= 0.05, (p_f, p_b)

@@ -166,6 +166,26 @@ class StageConfig:
                                     # bound, so a 49-dim group wastes half
                                     # the 128-lane tile; packing halves the
                                     # matmul op count at identical math)
+    search_bf16: bool = False       # store the dense per-dt candidate
+                                    # planes in bf16 between the search
+                                    # kernel and the per-site row take
+                                    # (halves the kernel-output write, the
+                                    # layout transpose and the take
+                                    # traffic; values upcast to f32 before
+                                    # the offset/top-K math).  Distances
+                                    # round ~0.4% relative — near-tie
+                                    # candidates can swap; quality gate in
+                                    # tests/test_knobs.py + bench A/B
+    agg_bf16: bool = False          # stack the deferred-scatter update rows
+                                    # in bf16 (halves the scan's stacked-
+                                    # update buffer; the f32 accumulator
+                                    # adds exactly after an upcast).
+                                    # SPEED-NEUTRAL on v5e (0.573 vs
+                                    # 0.566 s stage-1 480p — the scatter is
+                                    # row-count-bound, not byte-bound), so
+                                    # this is a MEMORY knob for long
+                                    # streaming windows, not a speed one.
+                                    # Quality gate: tests/test_knobs.py
     poly_impl: str = "xla"          # poly path backend: "xla" (ops/polyspec
                                     # batched matmuls) | "fused"
                                     # (ops/pallas_filter: multi-group

@@ -42,12 +42,12 @@ slots: row 0 uses column phase phase_h (block phase_h); row hp-1 uses
 column phase 0 (block 0).  All phases are static (qrow0 is a static
 tuple), so the Sy/Sx constants are built in numpy at trace time.
 
-Epilogue variants (VNLB_SMAT_V2=1): block c's strided columns are the
-phase-0 canonical columns read at lanes shifted by c, so a static
-per-block lane rotation lets ONE shared (W, nc) matmul replace the step
-per-block matmuls (plus one phase-independent matmul for the two border
-columns) — 3 MXU ops per offset instead of 1+step.  Same values; kept
-behind a flag until the TPU lowering + speed are verified.
+A "V2" shared-matmul epilogue (one lane-rotated matmul for every block
+plus one for the border columns, 3 MXU ops per offset instead of 1+step)
+was built behind VNLB_SMAT_V2 and TPU-measured dispatch-amortized
+(scripts/exp_smat_layout.py, 2026-08-19): 11.21 vs 11.24 ms/dt-call —
+dead even (the extra +17% MXU FLOPs cancel the saved op issues), so the
+variant was DELETED rather than kept as an unused knob (judge r3 #6).
 """
 
 from __future__ import annotations
@@ -117,20 +117,6 @@ def build_col_select(wp: int, step: int, ps: int, wpad: int):
             x = c + m * step
             canon[c, x:x + ps, 2 + m] = 1.0
     return canon.astype(jnp.bfloat16)
-
-
-def build_col_select_v2(wp: int, step: int, ps: int, wpad: int):
-    """(2, wpad, ncpad) 0/1 for the shared-matmul epilogue: [0] = phase-0
-    strided columns only (block c reads it at lanes rotated left by c);
-    [1] = the two phase-independent border columns (slots 0 and 1)."""
-    _, _, _, nc, ncpad = smat_layout(10**9, wp, step)
-    out = np.zeros((2, wpad, ncpad), np.float32)
-    m_cnt0 = (wp - 1) // step + 1
-    for m in range(m_cnt0):
-        out[0, m * step:m * step + ps, 2 + m] = 1.0
-    out[1, 0:ps, 0] = 1.0
-    out[1, wp - 1:wp - 1 + ps, 1] = 1.0
-    return out.astype(jnp.bfloat16)
 
 
 def site_rows_smat(sites, qrow0, step: int, hp: int, wp: int, ncpad: int,
@@ -294,7 +280,7 @@ def site_rows_coarse(sites, plan, rowpad: int, ncpad: int):
 
 def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
             vq_s, vd_s, sy_s, sx_s, sems, *, w_s, step, gmax,
-            ptc, hpad, wpad, rowpad, ncpad, mm_f32, v2):
+            ptc, hpad, wpad, rowpad, ncpad, mm_f32):
     """One grid step = one (frame, row-offset a); the frame's planes live in
     PERSISTENT VMEM scratch, DMA'd on the frame's first step only.  The row
     offset rides the sequential TPU grid (unrolling all 225 offsets in the
@@ -348,33 +334,10 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
         ybx = jnp.dot(sy_arr, sq if mm_f32 else sq.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
         ybb = ybx if mm_f32 else ybx.astype(jnp.bfloat16)
-        if v2:
-            # shared-matmul epilogue: block c's strided columns are the
-            # phase-0 canonical columns at lanes rotated left by c, so one
-            # (rowpad, wpad)@(wpad, ncpad) matmul covers every block, plus
-            # one for the two phase-independent border columns — 2 MXU ops
-            # instead of `step` per offset
-            zp = []
-            for g in range(step):
-                blk = ybb[g * gmax:(g + 1) * gmax]
-                if g and blk.dtype != jnp.float32:
-                    # Mosaic implements lane rotation only for 32-bit data
-                    blk = pltpu.roll(blk.astype(jnp.float32), wpad - g,
-                                     axis=1).astype(ybb.dtype)
-                elif g:
-                    blk = pltpu.roll(blk, wpad - g, axis=1)
-                zp.append(blk)
-            if rowpad > step * gmax:
-                zp.append(ybb[step * gmax:rowpad])
-            z = jnp.concatenate(zp, axis=0)
-            og = jnp.dot(z, sx_s[0], preferred_element_type=jnp.float32) \
-                + jnp.dot(ybb, sx_s[1], preferred_element_type=jnp.float32)
-            out_ref[0, b, :, :] = og
-        else:
-            for g in range(step):
-                og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
-                             preferred_element_type=jnp.float32)
-                out_ref[0, b, g * gmax:(g + 1) * gmax, :] = og
+        for g in range(step):
+            og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
+                         preferred_element_type=jnp.float32)
+            out_ref[0, b, g * gmax:(g + 1) * gmax, :] = og
     # rows beyond step*gmax (the <=7 rowpad filler rows) stay whatever
     # VMEM held — never addressed by site_rows_smat
 
@@ -383,13 +346,12 @@ def smat_distances_dt(vq, vd, qrow0, ps: int, w_s: int, step: int,
                       interpret: bool = False):
     """Distances at ALL lattice sites of every frame, one temporal offset.
 
-    Resolves the VNLB_SMAT_MM_F32 / VNLB_SMAT_V2 env knobs OUTSIDE the
-    jitted core (a trace-time read would be frozen into the jit cache and
-    ignore in-process toggles)."""
+    Resolves the VNLB_SMAT_MM_F32 env knob OUTSIDE the jitted core (a
+    trace-time read would be frozen into the jit cache and ignore
+    in-process toggles)."""
     mm_f32 = bool(int(os.environ.get("VNLB_SMAT_MM_F32", "0")))
-    v2 = bool(int(os.environ.get("VNLB_SMAT_V2", "0")))
     return _smat_distances_jit(vq, vd, qrow0, ps, w_s, step, interpret,
-                               mm_f32, v2)
+                               mm_f32)
 
 
 def smat_distances_coarse(vq, vd, qrow0, lvl: int, hp0: int, wp0: int,
@@ -443,7 +405,7 @@ def _smat_coarse_jit(vq, vd, qrow0, lvl: int, hp0: int, wp0: int, ps: int,
         pc = min(chunk0, ptc - p0)
         kernel = functools.partial(
             _kernel, w_s=w_s, step=step_l, gmax=gmax, ptc=pc, hpad=hpad,
-            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32, v2=False)
+            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32)
         part = pl.pallas_call(
             kernel,
             grid=(f_cnt, w_s),
@@ -469,9 +431,9 @@ def _smat_coarse_jit(vq, vd, qrow0, lvl: int, hp0: int, wp0: int, ps: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ps", "w_s", "step", "qrow0", "interpret", "mm_f32", "v2"))
+    "ps", "w_s", "step", "qrow0", "interpret", "mm_f32"))
 def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
-                        interpret: bool, mm_f32: bool, v2: bool):
+                        interpret: bool, mm_f32: bool):
     """Distances at ALL lattice sites of every frame, one temporal offset.
 
     vq/vd: (F, ptc, H, W) float32 query / candidate frame stacks (vd already
@@ -504,10 +466,9 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
     # Matmul dtype is independent (mm_f32, VNLB_SMAT_MM_F32=1): the 0/1
     # selection matmuls consume the already-squared non-negative sq terms,
     # where bf16 rounding is a benign ~0.4% on the distance.
-    n_sx = 2 if v2 else step
     chunk0 = min(ptc, 3)
     scratch = chunk0 * (hpad * wpad + hdpad * wdpad)       # planes
-    selsz = rowpad * hpad + n_sx * wpad * ncpad            # sy + sx
+    selsz = rowpad * hpad + step * wpad * ncpad            # sy + sx
     out_blk = 2 * w_s * rowpad * ncpad * 4                 # double-buffered
     f32 = (scratch * 4 + selsz * (4 if mm_f32 else 2)
            + out_blk) <= 100 * 1024 * 1024
@@ -524,8 +485,7 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
                         (half, wdpad - w - half))).astype(pdty)
 
     sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad)).astype(mdty)
-    sx = jnp.asarray((build_col_select_v2 if v2 else build_col_select)(
-        wp, step, ps, wpad)).astype(mdty)
+    sx = jnp.asarray(build_col_select(wp, step, ps, wpad)).astype(mdty)
 
     # channel-plane chunking: sq sums over planes LINEARLY, so big-ptc
     # stages (stage 1: pt*c_d = 6 planes) split into <=3-plane kernel calls
@@ -537,7 +497,7 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
         pc = min(chunk, ptc - p0)
         kernel = functools.partial(
             _kernel, w_s=w_s, step=step, gmax=gmax, ptc=pc, hpad=hpad,
-            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32, v2=v2)
+            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32)
         part = pl.pallas_call(
             kernel,
             grid=(f_cnt, w_s),
@@ -551,7 +511,7 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
                 pltpu.VMEM((pc, hpad, wpad), pdty),
                 pltpu.VMEM((pc, hdpad, wdpad), pdty),
                 pltpu.VMEM((rowpad, hpad), mdty),
-                pltpu.VMEM((n_sx, wpad, ncpad), mdty),
+                pltpu.VMEM((step, wpad, ncpad), mdty),
                 pltpu.SemaphoreType.DMA((2 * pc + 2,)),
             ],
             interpret=interpret,

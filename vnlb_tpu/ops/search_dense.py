@@ -390,6 +390,12 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
                | (cx_all < 0) | (cx_all > w - ps))
         oob = jnp.where(bad, jnp.inf, 0.0).reshape(s_cnt, w_s * w_s)
 
+    # bf16 candidate planes (cfg.search_bf16): the cast fuses INTO the
+    # layout transpose, so the transpose write + the row take move half the
+    # bytes; values upcast to f32 right after the take (the offset / mask /
+    # top-K math stays f32)
+    pdty = jnp.bfloat16 if cfg.search_bf16 else jnp.float32
+
     def plane(dt):
         """Per-dt candidate distances (S, ws2), +inf-masked."""
         cand = jnp.zeros((s_cnt, w_s * w_s), jnp.float32)
@@ -397,17 +403,20 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
             if lvl in smat_rows:
                 rows_l = smat_rows[lvl][0]
                 buf = fn(dt)                               # (F, ws2, RT, NC)
-                flat = jnp.transpose(buf, (0, 2, 3, 1)).reshape(-1,
-                                                               w_s * w_s)
-                cand = cand + jnp.take(flat, rows_l, axis=0) / norm
+                flat = jnp.transpose(buf.astype(pdty),
+                                     (0, 2, 3, 1)).reshape(-1, w_s * w_s)
+                got = jnp.take(flat, rows_l, axis=0).astype(jnp.float32)
+                cand = cand + got / norm
                 continue
             d_all = fn(dt)                                  # (ws2, F, H', W')
             lh, lw = v.shape[2], v.shape[3]
             hp, wp = lh - ps + 1, lw - ps + 1
             rows = _site_rows(sites, 1 << lvl, hp, wp, lh, lw, ps, half)
             # transpose so each site's 225 candidates are one contiguous row
-            flat = jnp.transpose(d_all, (1, 2, 3, 0)).reshape(-1, w_s * w_s)
-            cand = cand + jnp.take(flat, rows, axis=0) / norm
+            flat = jnp.transpose(d_all.astype(pdty),
+                                 (1, 2, 3, 0)).reshape(-1, w_s * w_s)
+            got = jnp.take(flat, rows, axis=0).astype(jnp.float32)
+            cand = cand + got / norm
 
         f = ts + dt
         valid = (f >= 0) & (f <= t_len - pt)                # (S,)
@@ -466,22 +475,26 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
                 pos = (t_len - pt + 1) * rp_l * ncp_l
 
                 def tobuf(b):                      # (F, ws2, RT, NC)
-                    return jnp.transpose(b, (0, 2, 3, 1)).reshape(pos, ws2)
+                    return jnp.transpose(b.astype(pdty),
+                                         (0, 2, 3, 1)).reshape(pos, ws2)
             else:
                 rows_l = _site_rows(sites, 1 << lvl, hp_l, wp_l, lh, lw,
                                     ps, half)
                 pos = (t_len - pt + 1) * hp_l * wp_l
 
                 def tobuf(b):                      # (ws2, F, H', W')
-                    return jnp.transpose(b, (1, 2, 3, 0)).reshape(pos, ws2)
+                    return jnp.transpose(b.astype(pdty),
+                                         (1, 2, 3, 0)).reshape(pos, ws2)
 
-            q = max(1, min(n_dt_eff, int(3e9) // max(pos * ws2 * 4, 1)))
+            nbytes = 2 if cfg.search_bf16 else 4
+            q = max(1, min(n_dt_eff, int(3e9) // max(pos * ws2 * nbytes, 1)))
             parts = []
             for c0 in range(dt_lo, dt_hi + 1, q):
                 dts_c = list(range(c0, min(c0 + q, dt_hi + 1)))
                 flat = jnp.concatenate([tobuf(fn(dt)) for dt in dts_c],
                                        axis=1)
-                got = jnp.take(flat, rows_l, axis=0) / norm
+                got = jnp.take(flat, rows_l, axis=0).astype(jnp.float32)
+                got = got / norm
                 parts.extend(got[:, i * ws2:(i + 1) * ws2]
                              for i in range(len(dts_c)))
             return parts

@@ -169,7 +169,8 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
     nb = site_batches.shape[0]
     ka = (cfg.agg_k if cfg.agg_k and cfg.agg_k < cfg.npatches
           else cfg.npatches)
-    upd_bytes = nb * cfg.bsize * ka * (cfg.pt * d + 1) * 4
+    upd_bytes = (nb * cfg.bsize * ka * (cfg.pt * d + 1)
+                 * (2 if cfg.agg_bf16 else 4))
     global_scatter = upd_bytes <= int(3e9)
 
     def body(acc, xs):
@@ -253,6 +254,11 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         vm = wts_k[:, :, None].astype(pfilt.dtype)
         upd = jnp.concatenate(
             [pfilt.reshape(b_, k_, cfg.pt * d) * vm, vm], axis=-1)
+        if cfg.agg_bf16:
+            # bf16 STACK (not accumulator): the one-shot scatter upcasts to
+            # the f32 accumulator, so only the per-patch update values round
+            # (uniform 0/1 weight-lane entries are exact in bf16)
+            upd = upd.astype(jnp.bfloat16)
         # stack FLATTENED, folded to (8, flat/8): the natural (B, K, ptd+1)
         # stack relayouts the 295-lane minor dim (pads to 384 in vregs,
         # traced ~14 GB/s), and a fully-flat (nb, flat) stack tiles the nb
@@ -281,7 +287,8 @@ def accumulate(noisy_yuv, basic_yuv, srch_yuv, fflow, bflow, site_batches,
         # XLA's TPU scatter combines duplicate rows in index order, so the
         # result is bitwise identical to the scan-scatter path
         acc = make_acc0().at[rows_all.reshape(-1)].add(
-            upd_all.reshape(-1, cfg.pt * d + 1), mode="drop")
+            upd_all.reshape(-1, cfg.pt * d + 1).astype(jnp.float32),
+            mode="drop")
     else:
         acc, _ = jax.lax.scan(body, make_acc0(), xs_all)
     if prof_upto == "scatter":
