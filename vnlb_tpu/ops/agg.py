@@ -134,16 +134,22 @@ def fold(acc: jnp.ndarray, pt: int, ps: int, shape
     plane j, scattered at the plane-0 base row; last lane = weight counts,
     see agg_rows) -> deno (T, C, H, W), weights (T, H, W).
 
-    SEPARABLE two-stage fold: the naive form is ps*ps lane-AND-sublane
-    misaligned shifted adds per plane (each a relayout — traced ~8x off
-    HBM bandwidth); instead stage A sums the ps dy-offsets into a
-    (T, C, ps_dx, H, W') buffer (adds aligned in the minor dim) and stage B
-    applies the ps remaining dx lane shifts (measured ~20% faster
-    standalone, scripts/exp_fold.py; the dense-conv col2im variant measured
-    6.6x SLOWER and is kept there as a documented dead end).  The weight
+    SEPARABLE two-stage fold as FUSED PAD-SUMS: stage A sums the ps
+    dy-offsets into a (T, C, ps_dx, H, W') buffer, stage B applies the ps
+    remaining dx shifts.  Each stage is one ``sum(pad(term))`` expression —
+    XLA fuses the ps pads + adds into a single pass — where the previous
+    ``.at[off:off+n].add`` chain was ps SERIALIZED read-modify-write passes
+    over the ~170 MB stage buffer (measured 115.7 ms/fold at stage-1 480p,
+    of which the transposes were only 14.3 ms and the weight box 11 ms —
+    ~90 ms was the RMW chains; scripts/exp_fold2.py.  The dense one-hot
+    conv col2im variant measured 278 ms there and the grouped-conv one
+    6.6x slower in scripts/exp_fold.py — both documented dead ends).
+    Addend sets are unchanged and the dy/dx orders stay ascending; only
+    the pt-plane combine regroups ((sum_j0) + (sum_j1) instead of
+    interleaved adds) — a last-ulp fp reorder on overlap rows, same class
+    as the scan-order freedoms the tests already tolerate.  The weight
     lane folds as one cumsum box sum (49 shifted adds of the same plane =
-    a full-padding box filter).  Per-pixel sums keep the same addend sets;
-    only fp add order changes (exact for 0/1 count weights).
+    a full-padding box filter).
     """
     t_len, c, h, w = shape
     hp, wp = h - ps + 1, w - ps + 1
@@ -151,7 +157,7 @@ def fold(acc: jnp.ndarray, pt: int, ps: int, shape
     wv = acc[:, -1].reshape(t_len, hp, wp)
 
     wfull = _box_full(wv, ps)
-    deno = jnp.zeros((t_len, c, h, w), acc.dtype)
+    deno = None
     # weight lane: sum the pt frame-shifted copies of the box-summed counts.
     # Deliberately CONCAT-shifted, not ``weights.at[j:].add(wfull[:tl])``:
     # that dynamic-update-slice-add of a cumsum-derived operand miscompiles
@@ -162,15 +168,25 @@ def fold(acc: jnp.ndarray, pt: int, ps: int, shape
     for j in range(1, pt):
         weights = weights + jnp.concatenate(
             [jnp.zeros((j, h, w), wv.dtype), wfull[:t_len - j]], axis=0)
+    z4 = ((0, 0), (0, 0), (0, 0))
     for j in range(pt):
         tl = t_len - j
         a = acc[:, j * d:(j + 1) * d].reshape(t_len, hp, wp, c, ps, ps)
         a = jnp.transpose(a, (0, 3, 5, 4, 1, 2))    # (T, C, dx, dy, H', W')
-        accx = jnp.zeros((t_len, c, ps, h, wp), acc.dtype)
+        accx = None
         for dy in range(ps):
-            accx = accx.at[:, :, :, dy:dy + hp, :].add(a[:, :, :, dy])
+            term = jnp.pad(a[:, :, :, dy],
+                           z4 + ((dy, ps - 1 - dy), (0, 0)))
+            accx = term if accx is None else accx + term
+        dj = None                                   # (T, C, H, W)
         for dx in range(ps):
-            deno = deno.at[j:, :, :, dx:dx + wp].add(accx[:tl, :, dx])
+            term = jnp.pad(accx[:, :, dx], z4[:2] + ((0, 0),
+                                                     (dx, ps - 1 - dx)))
+            dj = term if dj is None else dj + term
+        if j:
+            dj = jnp.concatenate(
+                [jnp.zeros((j, c, h, w), acc.dtype), dj[:tl]], axis=0)
+        deno = dj if deno is None else deno + dj
     return deno, weights
 
 

@@ -154,16 +154,19 @@ def coarse_plan(qrow0, lvl: int, hp0: int, wp0: int, h_l: int, w_l: int,
 
     Level-``lvl`` query positions are the full-res lattice positions scaled
     and CLAMPED into the clamp-free band (ops/search_dense._site_rows):
-    yc = clip(y >> lvl, half, h_l - ps - half), same for columns.  When the
-    full-res stride divides by 2**lvl the scaled rows/columns still form
-    strided lattices (stride step/2**lvl) plus two clamp values per axis —
-    the same structure the level-0 smat layout encodes with its first/last
-    spare slots — so the selection-matmul kernel applies unchanged with a
-    generalized plan: per-frame row slots grouped in ``step_l`` blocks by
-    COARSE column phase ((phase_w % step) >> lvl: the 2**lvl full-res column
-    phases of a block scale to ONE coarse column lattice), per-block
-    canonical column slots [lo-clamp, hi-clamp, strided cols], and clamped
-    rows/cols riding extra slots of their block.
+    yc = clip(y >> lvl, half, h_l - ps - half), same for columns.  The
+    scaled positions are not one arithmetic stride in general (stride 6 at
+    level 2 alternates +1/+2), but the kernel never needed one: its only
+    structural requirement is that every row in a block shares ONE column
+    slot list (the per-block Sx constant).  So the plan uses one block per
+    FULL-RES column phase (``step_l = step`` blocks): block g holds the
+    rows whose lattice column phase is g, its column slots are the
+    deduplicated clamped scalings of {0, wp0-1, g, g+step, ...}, and
+    clamp-collided rows/cols share dedup'd slots.  (The round-3 plan
+    required step % 2**lvl == 0 and merged the 2**lvl phases of a coarse
+    lattice into one block; this per-phase form subsumes it — level 2 at
+    the production stride 6 now rides the kernel instead of the
+    all-pixels dense path.)
 
     Returns a dict of static numpy arrays:
       step_l, gmax, rowpad, nc, ncpad          — layout numbers
@@ -177,9 +180,7 @@ def coarse_plan(qrow0, lvl: int, hp0: int, wp0: int, h_l: int, w_l: int,
          plane index per slot (the XLA selection fallback; garbage -> 0)
     """
     scale = 1 << lvl
-    if step % scale:
-        raise ValueError(f"stride {step} not divisible by 2^{lvl}")
-    step_l = step // scale
+    step_l = step                  # one block per full-res column phase
     half = (w_s - 1) // 2
     lo = half
     hi_r = max(h_l - ps - lo, 0)
@@ -201,9 +202,7 @@ def coarse_plan(qrow0, lvl: int, hp0: int, wp0: int, h_l: int, w_l: int,
     for g in range(step_l):
         vals = []
         seen = {}
-        xs_full = {0, wp0 - 1}
-        for pw in range(g * scale, (g + 1) * scale):
-            xs_full |= set(range(pw, wp0, step))
+        xs_full = {0, wp0 - 1} | set(range(g, wp0, step))
         for x in sorted(xs_full):
             xc = cl_c(x >> lvl)
             if xc not in seen:
@@ -222,7 +221,7 @@ def coarse_plan(qrow0, lvl: int, hp0: int, wp0: int, h_l: int, w_l: int,
         blocks = [[] for _ in range(step_l)]
         for y in ys:
             pw = 0 if y == hp0 - 1 else (ph + y // step) % step
-            g = pw // scale
+            g = pw
             yc = cl_r(y >> lvl)
             if yc not in blocks[g]:
                 blocks[g].append(yc)
@@ -248,7 +247,7 @@ def coarse_plan(qrow0, lvl: int, hp0: int, wp0: int, h_l: int, w_l: int,
         ys = sorted({0, hp0 - 1} | set(range(ph, hp0, step)))
         for y in ys:
             pw = 0 if y == hp0 - 1 else (ph + y // step) % step
-            g = pw // scale
+            g = pw
             yc = cl_r(y >> lvl)
             j = rows_fb[f][g].index(yc)
             row_slot[f, y] = g * gmax + j
@@ -279,7 +278,7 @@ def site_rows_coarse(sites, plan, rowpad: int, ncpad: int):
 
 
 def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
-            vq_s, vd_s, sy_s, sx_s, sems, *, w_s, step, gmax,
+            vq_s, vd_s, sy_s, sx_s, ybb_scr, sems, *, w_s, step, gmax,
             ptc, hpad, wpad, rowpad, ncpad, mm_f32):
     """One grid step = one (frame, row-offset a); the frame's planes live in
     PERSISTENT VMEM scratch, DMA'd on the frame's first step only.  The row
@@ -334,10 +333,24 @@ def _kernel(vq_hbm, vd_hbm, sy_hbm, sx_hbm, out_ref,
         ybx = jnp.dot(sy_arr, sq if mm_f32 else sq.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
         ybb = ybx if mm_f32 else ybx.astype(jnp.bfloat16)
+        # stage block rows b-MAJOR into scratch (a 15-way live concat here
+        # made Mosaic compilation explode; a scratch round-trip does not)
         for g in range(step):
-            og = jnp.dot(ybb[g * gmax:(g + 1) * gmax], sx_s[g],
-                         preferred_element_type=jnp.float32)
-            out_ref[0, b, g * gmax:(g + 1) * gmax, :] = og
+            ybb_scr[g, b * gmax:(b + 1) * gmax, :] = \
+                ybb[g * gmax:(g + 1) * gmax]
+    # Column epilogue, b-BATCHED: one (w_s*gmax, wpad)@(wpad, ncpad) matmul
+    # per block instead of w_s (gmax, wpad) ones.  A (16, 896)@(896, 256)
+    # matmul streams the full K*N MXU passes at 16/128 row utilization, so
+    # the per-b form paid ~w_s x the cycles for the same products (roll
+    # ablation, scripts/exp_smat_roll.py: the kernel is epilogue-bound,
+    # not roll-bound).  Same dot products per output element -> outputs
+    # are bitwise identical.
+    for g in range(step):
+        og = jnp.dot(ybb_scr[g], sx_s[g],
+                     preferred_element_type=jnp.float32)
+        for b in range(w_s):
+            out_ref[0, b, g * gmax:(g + 1) * gmax, :] = \
+                og[b * gmax:(b + 1) * gmax, :]
     # rows beyond step*gmax (the <=7 rowpad filler rows) stay whatever
     # VMEM held — never addressed by site_rows_smat
 
@@ -385,7 +398,8 @@ def _smat_coarse_jit(vq, vd, qrow0, lvl: int, hp0: int, wp0: int, ps: int,
 
     chunk0 = min(ptc, 3)
     scratch = chunk0 * (hpad * wpad + hdpad * wdpad)
-    selsz = rowpad * hpad + step_l * wpad * ncpad
+    selsz = (rowpad * hpad + step_l * wpad * ncpad
+             + step_l * w_s * gmax * wpad)
     out_blk = 2 * w_s * rowpad * ncpad * 4
     f32 = (scratch * 4 + selsz * (4 if mm_f32 else 2)
            + out_blk) <= 100 * 1024 * 1024
@@ -420,6 +434,7 @@ def _smat_coarse_jit(vq, vd, qrow0, lvl: int, hp0: int, wp0: int, ps: int,
                 pltpu.VMEM((pc, hdpad, wdpad), pdty),
                 pltpu.VMEM((rowpad, hpad), mdty),
                 pltpu.VMEM((step_l, wpad, ncpad), mdty),
+                pltpu.VMEM((step_l, w_s * gmax, wpad), mdty),
                 pltpu.SemaphoreType.DMA((2 * pc + 2,)),
             ],
             interpret=interpret,
@@ -468,7 +483,8 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
     # where bf16 rounding is a benign ~0.4% on the distance.
     chunk0 = min(ptc, 3)
     scratch = chunk0 * (hpad * wpad + hdpad * wdpad)       # planes
-    selsz = rowpad * hpad + step * wpad * ncpad            # sy + sx
+    selsz = (rowpad * hpad + step * wpad * ncpad
+             + step * w_s * gmax * wpad)                   # sy + sx + ybb
     out_blk = 2 * w_s * rowpad * ncpad * 4                 # double-buffered
     f32 = (scratch * 4 + selsz * (4 if mm_f32 else 2)
            + out_blk) <= 100 * 1024 * 1024
@@ -512,6 +528,7 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
                 pltpu.VMEM((pc, hdpad, wdpad), pdty),
                 pltpu.VMEM((rowpad, hpad), mdty),
                 pltpu.VMEM((step, wpad, ncpad), mdty),
+                pltpu.VMEM((step, w_s * gmax, wpad), mdty),
                 pltpu.SemaphoreType.DMA((2 * pc + 2,)),
             ],
             interpret=interpret,

@@ -225,13 +225,13 @@ def _level_dense_smat_coarse(video_lvl, cfg: StageConfig, qrow0, lvl: int,
     """Strided-query distances for a COARSE needle level (zero flow).
 
     The coarse query positions are the clamped scaled lattice positions
-    (``_site_rows``); when the full-res stride divides by 2**lvl they form
-    a stride step/2**lvl lattice plus clamp rows/cols, so the smat
-    machinery applies with the generalized ``coarse_plan`` layout (the
-    dense all-pixels coarse path computed ~step_l^2 more box-sum work AND
-    a 4x larger output buffer at the production stride).  TPU: the Pallas
-    selection-matmul kernel (fp-rounding-close); elsewhere: pure selection
-    from the dense coarse planes (bit-equal by construction).
+    (``_site_rows``); the per-phase ``coarse_plan`` layout encodes them
+    for ANY (stride, level) — the per-block column slot lists absorb
+    non-uniform scaled lattices, so no divisibility is required (the
+    dense all-pixels coarse path computed ~step^2/4^lvl more box-sum work
+    at the production stride).  TPU: the Pallas selection-matmul kernel
+    (fp-rounding-close); elsewhere: pure selection from the dense coarse
+    planes (bit-equal by construction).
 
     Returns per_dt(dt) -> (F, ws2, rowpad, ncpad) in coarse_plan layout.
     """
@@ -335,10 +335,10 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
     per_dt_fns = [_level_dense(v, cfg) for v in videos]
     smat_rows = {}          # lvl -> (site rows, rowpad, ncpad)
     if qrow0 is not None:
-        # strided-query paths: level 0 always; coarse levels whenever the
-        # stride divides by 2^lvl (their clamped scaled query lattice then
-        # keeps the strided structure — coarse_plan; otherwise the scaled
-        # rows are not one arithmetic stride and the level stays all-rows)
+        # strided-query paths: level 0 always; every coarse level via the
+        # per-phase coarse_plan (no stride-divisibility requirement —
+        # the per-block column slot lists absorb non-uniform scaled
+        # lattices, ops/pallas_smat.coarse_plan)
         from .pallas_smat import (coarse_plan, site_rows_coarse,
                                   site_rows_smat, smat_layout)
 
@@ -348,8 +348,6 @@ def exec_search_dense(video: jnp.ndarray, sites: jnp.ndarray,
         smat_rows[0] = (site_rows_smat(sites, qrow0, cfg.step_s, hp0, wp0,
                                        ncpad0, rowpad0), rowpad0, ncpad0)
         for lvl in range(1, len(videos)):
-            if cfg.step_s % (1 << lvl):
-                continue
             v_l = videos[lvl]
             per_dt_fns[lvl] = _level_dense_smat_coarse(
                 v_l, cfg, qrow0, lvl, hp0, wp0)
