@@ -119,6 +119,21 @@ def test_agg_weight_exp():
     assert abs(p_u - p_e) < 0.3, (p_u, p_e)
 
 
+def test_search_bf16_planes():
+    """search_bf16 stores the dense candidate planes in bf16 between the
+    search kernel and the row take: distances round ~0.4% relative, so
+    near-tie candidates can swap, but end-to-end quality must hold (the
+    480p bench A/B measured -0.0007/+0.0001 dB; gate here at <=0.05 dB)."""
+    clean, noisy, zf = _clip()
+    cfg = default_config(20.0, preset="iphone").stage(0)
+    out_f = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
+    out_b = np.asarray(proc_nl(noisy, None, None, zf, zf,
+                               cfg.replace(search_bf16=True)))
+    p_f = compute_psnr(out_f, clean)
+    p_b = compute_psnr(out_b, clean)
+    assert abs(p_f - p_b) <= 0.05, (p_f, p_b)
+
+
 def test_agg_bf16_stack():
     """agg_bf16 stacks the deferred-scatter updates in bf16: output changes
     only by the bf16 rounding of the filtered patch values (the f32
