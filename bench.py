@@ -36,7 +36,9 @@ def main():
     w = int(os.environ.get("VNLB_BENCH_W", "854"))
     sigma = float(os.environ.get("VNLB_BENCH_SIGMA", "20"))
     preset = os.environ.get("VNLB_BENCH_PRESET", "iphone")
-    reps = int(os.environ.get("VNLB_BENCH_REPS", "2"))
+    # 3 reps: the tunneled host shows intermittent multi-minute transfer
+    # stalls; min-of-3 tolerates one stalled rep where min-of-2 records it
+    reps = int(os.environ.get("VNLB_BENCH_REPS", "3"))
     # production fast path: polynomial spectral filter (ops/polyspec.py;
     # two-pass PSNR within 0.1 dB of the exact eigh mode for BOTH passes,
     # pinned by tests/test_polyspec.py)
@@ -191,6 +193,18 @@ def main():
         key = ("full_lattice_stride3" if alt_step == 3
                else "matched_density_stride6")
         extra[f"{key}_fps"] = round(fps_alt, 4)
+
+    # surface the measured 1080p scale-out artifact (scripts/bench_1080p.py,
+    # run on the real chip) in the same JSON line so one record carries both
+    # the single-chip headline and the v5e-8 extrapolation
+    p1080 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_1080P.json")
+    if os.path.exists(p1080):
+        try:
+            with open(p1080) as f:
+                extra["v5e8_1080p_fps_extrapolated"] = json.load(f)["value"]
+        except Exception:
+            pass
 
     print(json.dumps({"metric": "davis480p_fps", "value": round(fps, 4),
                       "unit": "frames/sec",
