@@ -194,17 +194,26 @@ def main():
                else "matched_density_stride6")
         extra[f"{key}_fps"] = round(fps_alt, 4)
 
-    # surface the measured 1080p scale-out artifact (scripts/bench_1080p.py,
-    # run on the real chip) in the same JSON line so one record carries both
-    # the single-chip headline and the v5e-8 extrapolation
-    p1080 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_1080P.json")
-    if os.path.exists(p1080):
+    # surface the measured scale-out artifacts (scripts/bench_1080p.py /
+    # bench_480p_sp.py, run on the real chip) in the same JSON line so one
+    # record carries the single-chip headline and the v5e-8 extrapolations.
+    # These are STATIC artifacts from their recorded measurement date, not
+    # part of this run — the *_asof key carries the date so a stale
+    # extrapolation is visible (round-4 advisor finding); read failures are
+    # logged, not swallowed.
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname, key in (("BENCH_1080P.json", "v5e8_1080p_fps_extrapolated"),
+                       ("BENCH_480P_SP.json", "v5e8_480p_fps_extrapolated")):
+        path = os.path.join(here, fname)
+        if not os.path.exists(path):
+            continue
         try:
-            with open(p1080) as f:
-                extra["v5e8_1080p_fps_extrapolated"] = json.load(f)["value"]
-        except Exception:
-            pass
+            with open(path) as f:
+                art = json.load(f)
+            extra[key] = art["value"]
+            extra[f"{key}_asof"] = art.get("date", "unknown")
+        except Exception as e:
+            log(f"[bench] WARNING: could not read {fname}: {e!r}")
 
     print(json.dumps({"metric": "davis480p_fps", "value": round(fps, 4),
                       "unit": "frames/sec",

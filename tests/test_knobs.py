@@ -120,15 +120,20 @@ def test_agg_weight_exp():
 
 
 def test_search_bf16_planes():
-    """search_bf16 stores the dense candidate planes in bf16 between the
-    search kernel and the row take: distances round ~0.4% relative, so
-    near-tie candidates can swap, but end-to-end quality must hold (the
-    480p bench A/B measured -0.0007/+0.0001 dB; gate here at <=0.05 dB)."""
+    """search_bf16 (the round-5 default) stores the dense candidate planes
+    in bf16 between the search kernel and the row take: distances round
+    ~0.4% relative, so near-tie candidates can swap, but end-to-end quality
+    must hold (the 480p bench A/B measured -0.0007/+0.0001 dB; gate here at
+    <=0.05 dB).  Also asserts the knob is actually plumbed: the bf16 and
+    f32 plane paths must produce different outputs on a noisy clip (if the
+    cast is ever dropped, both runs become identical and this fails)."""
     clean, noisy, zf = _clip()
     cfg = default_config(20.0, preset="iphone").stage(0)
-    out_f = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
-    out_b = np.asarray(proc_nl(noisy, None, None, zf, zf,
-                               cfg.replace(search_bf16=True)))
+    assert cfg.search_bf16                       # round-5 default is ON
+    out_b = np.asarray(proc_nl(noisy, None, None, zf, zf, cfg))
+    out_f = np.asarray(proc_nl(noisy, None, None, zf, zf,
+                               cfg.replace(search_bf16=False)))
+    assert np.abs(out_f - out_b).max() > 0       # the cast reaches the path
     p_f = compute_psnr(out_f, clean)
     p_b = compute_psnr(out_b, clean)
     assert abs(p_f - p_b) <= 0.05, (p_f, p_b)

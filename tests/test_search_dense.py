@@ -43,8 +43,11 @@ def _strict_interior(sites, shape, cfg):
 def test_dense_matches_gather_interior(step, stype):
     video, zf = _mk(3 + step)
     shape = video.shape
+    # search_bf16=False: this test pins the EXACT-math contract between the
+    # dense and gather formulations; the production bf16-plane default
+    # rounds dense distances ~0.4% (quality-gated in tests/test_knobs.py)
     cfg = default_config(20.0, preset="iphone").stage(step).replace(
-        nwt_b=3, nwt_f=3, npatches=20, stype=stype)
+        nwt_b=3, nwt_f=3, npatches=20, stype=stype, search_bf16=False)
     sites = lattice_sites(shape, cfg)
     _, border = interior_split(sites, shape, cfg)
     interior = _strict_interior(sites, shape, cfg)

@@ -166,7 +166,7 @@ class StageConfig:
                                     # bound, so a 49-dim group wastes half
                                     # the 128-lane tile; packing halves the
                                     # matmul op count at identical math)
-    search_bf16: bool = False       # store the dense per-dt candidate
+    search_bf16: bool = True        # store the dense per-dt candidate
                                     # planes in bf16 between the search
                                     # kernel and the per-site row take
                                     # (halves the kernel-output write, the
@@ -174,8 +174,13 @@ class StageConfig:
                                     # traffic; values upcast to f32 before
                                     # the offset/top-K math).  Distances
                                     # round ~0.4% relative — near-tie
-                                    # candidates can swap; quality gate in
-                                    # tests/test_knobs.py + bench A/B
+                                    # candidates can swap.  DEFAULT ON
+                                    # since round 5: the bench-scale A/B
+                                    # (scripts/ab_search_bf16.py, v5e-1
+                                    # 480p) measured -7/-6 ms per stage at
+                                    # -0.0007/+0.0001 dB end-to-end;
+                                    # quality gate in tests/test_knobs.py
+                                    # (set False for f32 candidate planes)
     agg_bf16: bool = False          # stack the deferred-scatter update rows
                                     # in bf16 (halves the scan's stacked-
                                     # update buffer; the f32 accumulator
