@@ -43,6 +43,101 @@ def test_strided_matches_full_xla(step, stype):
     np.testing.assert_array_equal(np.asarray(si), np.asarray(fi))
 
 
+def _tie_aware_match(va, ia, vb, ib, vtol, tie):
+    """Values agree to vtol; where top-K indices differ the two values must
+    be a tie within ``tie`` (near-equal candidates may swap when the two
+    formulations round differently)."""
+    np.testing.assert_allclose(va, vb, atol=vtol, rtol=0)
+    diff = ia != ib
+    if diff.any():
+        assert np.abs(va[diff] - vb[diff]).max() <= tie, (
+            np.abs(va[diff] - vb[diff]).max())
+
+
+@pytest.mark.parametrize("step,stype", [(0, "l2"), (0, "needle")])
+def test_tile_search_whole_frame_matches(step, stype):
+    """The halo-tile production search (traced row selection,
+    ops/search_dense.exec_search_dense_tile) degenerates to the global
+    strided path when the 'tile' is the whole frame (base_row=0).  The two
+    graphs fuse differently under XLA:CPU, so values carry ~1e-8 noise
+    (not bit-equal); indices may swap only at value ties."""
+    from vnlb_tpu.ops.search_dense import exec_search_dense_tile
+
+    video = _mk(7 + step)
+    cfg = default_config(20.0, preset="iphone").stage(step).replace(
+        nwt_b=2, nwt_f=2, npatches=20, stype=stype, border_mode="mask")
+    qrow0 = _phases(video.shape, cfg)
+    sites = lattice_sites(video.shape, cfg)
+    v, s = jnp.asarray(video), jnp.asarray(sites)
+    gv, gi = exec_search_dense(v, s, cfg, qrow0=qrow0)
+
+    # coarse pyramid (full frames) exactly as the halo path gathers them
+    coarse = []
+    if stype == "needle":
+        from vnlb_tpu.ops.search import _avg_pool2
+        r = cfg.w_s + cfg.ps - 1
+        cur = v
+        for _ in range(1, cfg.needle_scales):
+            cur = _avg_pool2(cur)
+            if cur.shape[2] < r or cur.shape[3] < r:
+                break
+            coarse.append(cur)
+    hp_g = video.shape[2] - cfg.ps + 1
+    tv, ti = exec_search_dense_tile(v, s, s[:, 1], cfg, qrow0,
+                                    jnp.int32(0), hp_g, tuple(coarse))
+    _tie_aware_match(np.asarray(tv), np.asarray(ti),
+                     np.asarray(gv), np.asarray(gi), vtol=1e-6, tie=1e-6)
+
+
+def test_tile_search_offset_strip():
+    """A true sub-strip tile (nonzero base_row, halo rows) returns the same
+    candidates as the whole-frame search for every home-strip site, up to
+    the tile-local index offset: decode both to GLOBAL (t, y, x).  The
+    tile-local box-sum cumsums round differently from the full-frame ones
+    (the documented halo seam effect, parallel/halo.py docstring), so
+    values agree only to ~1e-3 and index disagreements must be value
+    ties."""
+    from vnlb_tpu.ops.search_dense import exec_search_dense_tile
+
+    t, c, h, w = 4, 3, 72, 52
+    video = _mk(13, t=t, h=h, w=w)
+    cfg = default_config(20.0, preset="iphone").stage(0).replace(
+        nwt_b=2, nwt_f=2, npatches=16, stype="l2", border_mode="mask")
+    qrow0 = _phases(video.shape, cfg)
+    halo = (cfg.w_s - 1) // 2 + cfg.ps - 1
+    hs = 24
+    r0 = 24                                  # strip [24, 48)
+    base_row = r0 - halo
+    tile = video[:, :, base_row:r0 + hs + halo, :]
+
+    sites = lattice_sites(video.shape, cfg)
+    sel = (sites[:, 1] >= r0) & (sites[:, 1] < r0 + hs)
+    s_g = sites[sel]
+    s_l = s_g.copy()
+    s_l[:, 1] = s_g[:, 1] - base_row
+
+    v = jnp.asarray(video)
+    gv, gi = exec_search_dense(v, jnp.asarray(s_g), cfg, qrow0=qrow0)
+    hp_g = h - cfg.ps + 1
+    tv, ti = exec_search_dense_tile(jnp.asarray(tile), jnp.asarray(s_l),
+                                    jnp.asarray(s_g[:, 1]), cfg, qrow0,
+                                    jnp.int32(base_row), hp_g, ())
+
+    # decode both index sets to a comparable global (t, y, x) key
+    def dec(ii, hh, y_off):
+        ii = np.asarray(ii).astype(np.int64)
+        chw = c * hh * w
+        f = ii // chw
+        rem = ii % (hh * w)
+        key = f * (10 ** 8) + (rem // w + y_off) * (10 ** 4) + rem % w
+        return np.where(ii < 0, -1, key)
+    g_key = dec(gi, h, 0)
+    t_key = dec(ti, tile.shape[2], base_row)
+    np.testing.assert_array_equal(g_key < 0, t_key < 0)
+    _tie_aware_match(np.asarray(tv), t_key, np.asarray(gv), g_key,
+                     vtol=2e-3, tie=2e-3)
+
+
 def test_strided_nonzero_phase_origin():
     """Chunked streaming passes t_origin: phases shift per frame."""
     video = _mk(11, t=4, h=46, w=46)
@@ -97,6 +192,88 @@ def test_smat_kernel_mm_f32_interpret(monkeypatch):
     scale = np.abs(bf).max()
     assert np.isfinite(bf).all()
     assert np.abs(af - bf).max() / scale < 0.01
+
+
+def test_tile_smat_kernel_matches_selection_interpret():
+    """The TILE-variant Pallas kernel (traced Sy, interpret mode) vs the
+    traced-selection XLA fallback at every lattice slot of an offset
+    strip: values within the bf16 selection-matmul tolerance (~0.4%).
+
+    Compared only at IN-BOUNDS candidates: at partially-OOB candidate
+    patches the kernel's zero-padded squared-difference form and the dense
+    path's zero-padded q2+b2-2*cross form legitimately differ, and the
+    production path (exec_search_dense_tile) masks those +inf before the
+    top-K — same protocol as the end-to-end tile tests above."""
+    from vnlb_tpu.ops import pallas_smat as sm
+    from vnlb_tpu.ops.search_dense import _level_dense
+
+    rng = np.random.default_rng(21)
+    t, h, w = 3, 64, 44
+    video = rng.uniform(0, 255, (t, 3, h, w)).astype(np.float32)
+    cfg = default_config(20.0, preset="iphone").stage(0).replace(
+        nwt_b=1, nwt_f=1, border_mode="mask")
+    ps, w_s, step = cfg.ps, cfg.w_s, cfg.step_s
+    qrow0 = _phases(video.shape, cfg)
+    hp_g = h - ps + 1
+
+    halo = (w_s - 1) // 2 + ps - 1
+    hs, r0 = 16, 16                          # strip [16, 32)
+    base_row = r0 - halo
+    tile = video[:, :, base_row:r0 + hs + halo, :]
+    h_t = tile.shape[2]
+    hp_t, wp = h_t - ps + 1, w - ps + 1
+    gmax, _, rowpad, nc, ncpad = sm.tile_smat_layout(hp_t, wp, step)
+
+    f_cnt = t - cfg.pt + 1
+    vc = tile[:, :cfg.dist_chnls]
+    vq = jnp.concatenate([jnp.asarray(vc[f:f + f_cnt])
+                          for f in range(cfg.pt)], axis=1)
+    hpad = -(-h_t // 128) * 128
+    sy = sm.build_row_select_tile(qrow0, jnp.int32(base_row), hp_t, hp_g,
+                                  step, ps, hpad, gmax, rowpad)
+    dt = 1
+    vd = jnp.concatenate(
+        [jnp.asarray(np.roll(vc, -dt, axis=0)[f:f + f_cnt])
+         for f in range(cfg.pt)], axis=1)
+    a = np.asarray(sm.smat_distances_dt_tile(vq, vd, sy, ps, w_s, step,
+                                             gmax, rowpad, ncpad,
+                                             interpret=True))
+
+    # XLA fallback: traced selection from the dense tile planes
+    sel = np.asarray(sm.tile_sel_indices(qrow0, jnp.int32(base_row), hp_t,
+                                         hp_g, wp, step, gmax, rowpad,
+                                         ncpad))
+    d_all = np.asarray(_level_dense(jnp.asarray(tile),
+                                    cfg.replace(dense_impl="xla"))(dt))
+    d2 = d_all.reshape(w_s * w_s, f_cnt * hp_t * wp)
+    b = d2[:, sel.reshape(-1)].reshape(
+        w_s * w_s, f_cnt, rowpad, ncpad).transpose(1, 0, 2, 3)
+
+    # compare at the REAL slots only (garbage elsewhere): sites of the
+    # home strip, mapped through the traced site indexing
+    sites = lattice_sites(video.shape, cfg)
+    in_strip = (sites[:, 1] >= r0) & (sites[:, 1] < r0 + hs)
+    s_g = sites[in_strip]
+    s_l = s_g.copy()
+    s_l[:, 1] -= base_row
+    rows = np.asarray(sm.site_rows_smat_tile(
+        jnp.asarray(s_l), jnp.asarray(s_g[:, 1]), qrow0, step, hp_g,
+        gmax, rowpad, ncpad))
+    af = a.transpose(0, 2, 3, 1).reshape(-1, w_s * w_s)[rows]
+    bf = b.transpose(0, 2, 3, 1).reshape(-1, w_s * w_s)[rows]
+    assert np.isfinite(bf).all()
+
+    # in-bounds candidate mask (tile coords; queries are interior in y)
+    half = (w_s - 1) // 2
+    dgrid = np.arange(w_s)
+    cy = s_l[:, 1, None, None] - half + dgrid[None, :, None]
+    cx = s_l[:, 2, None, None] - half + dgrid[None, None, :]
+    ok = ((cy >= 0) & (cy <= hp_t - 1) & (cx >= 0)
+          & (cx <= wp - 1)).reshape(-1, w_s * w_s)
+    assert ok.mean() > 0.5                   # the pin is not vacuous
+    scale = np.abs(bf[ok]).max()
+    assert np.abs(af[ok] - bf[ok]).max() / scale < 0.01, (
+        np.abs(af[ok] - bf[ok]).max() / scale)
 
 
 def test_smat_kernel_matches_dense_interpret():

@@ -621,36 +621,10 @@ def _smat_coarse_jit(vq, vd, qrow0, lvl: int, hp0: int, wp0: int, ps: int,
                         (half, wdpad - w - half))).astype(pdty)
     sy = jnp.asarray(plan["sy"]).astype(mdty)
     sx = jnp.asarray(plan["sx"]).astype(mdty)
-
-    out = None
-    for p0 in range(0, ptc, chunk0):
-        pc = min(chunk0, ptc - p0)
-        kernel = functools.partial(
-            _kernel, w_s=w_s, step=step_l, gmax=gmax, ptc=pc, hpad=hpad,
-            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32)
-        part = pl.pallas_call(
-            kernel,
-            grid=(f_cnt, w_s),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
-            out_specs=pl.BlockSpec(
-                (1, w_s, rowpad, ncpad), lambda f, a: (f, a, 0, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(
-                (f_cnt, w_s * w_s, rowpad, ncpad), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((pc, hpad, wpad), pdty),
-                pltpu.VMEM((pc, hdpad, wdpad), pdty),
-                pltpu.VMEM((rowpad, hpad), mdty),
-                pltpu.VMEM((step_l, wpad, ncpad), mdty),
-                pltpu.VMEM((step_l, w_s * gmax, wpad), mdty),
-                pltpu.SemaphoreType.DMA((2 * pc + 2,)),
-            ],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-        )(vq_p[:, p0:p0 + pc], vd_p[:, p0:p0 + pc], sy, sx)
-        out = part if out is None else out + part
-    return out
+    return _smat_chunked_call(vq_p, vd_p, sy, sx,
+                              w_s=w_s, step=step_l, gmax=gmax, rowpad=rowpad,
+                              ncpad=ncpad, hpad=hpad, wpad=wpad,
+                              mm_f32=mm_f32, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -710,38 +684,7 @@ def _smat_distances_jit(vq, vd, qrow0, ps: int, w_s: int, step: int,
 
     sy = jnp.asarray(build_row_select(qrow0, hp, step, ps, hpad)).astype(mdty)
     sx = jnp.asarray(build_col_select(wp, step, ps, wpad)).astype(mdty)
-
-    # channel-plane chunking: sq sums over planes LINEARLY, so big-ptc
-    # stages (stage 1: pt*c_d = 6 planes) split into <=3-plane kernel calls
-    # whose outputs add — keeps the per-call VMEM scratch bounded (a single
-    # 6-plane 1080p call exceeded the 128 MB VMEM budget by 92 MB)
-    chunk = chunk0
-    out = None
-    for p0 in range(0, ptc, chunk):
-        pc = min(chunk, ptc - p0)
-        kernel = functools.partial(
-            _kernel, w_s=w_s, step=step, gmax=gmax, ptc=pc, hpad=hpad,
-            wpad=wpad, rowpad=rowpad, ncpad=ncpad, mm_f32=mm_f32)
-        part = pl.pallas_call(
-            kernel,
-            grid=(f_cnt, w_s),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
-            out_specs=pl.BlockSpec(
-                (1, w_s, rowpad, ncpad), lambda f, a: (f, a, 0, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(
-                (f_cnt, w_s * w_s, rowpad, ncpad), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((pc, hpad, wpad), pdty),
-                pltpu.VMEM((pc, hdpad, wdpad), pdty),
-                pltpu.VMEM((rowpad, hpad), mdty),
-                pltpu.VMEM((step, wpad, ncpad), mdty),
-                pltpu.VMEM((step, w_s * gmax, wpad), mdty),
-                pltpu.SemaphoreType.DMA((2 * pc + 2,)),
-            ],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-        )(vq_p[:, p0:p0 + pc], vd_p[:, p0:p0 + pc], sy, sx)
-        out = part if out is None else out + part
-    return out
+    return _smat_chunked_call(vq_p, vd_p, sy, sx,
+                              w_s=w_s, step=step, gmax=gmax, rowpad=rowpad,
+                              ncpad=ncpad, hpad=hpad, wpad=wpad,
+                              mm_f32=mm_f32, interpret=interpret)
