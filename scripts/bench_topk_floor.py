@@ -10,18 +10,19 @@ K=100), on the real chip:
   b) TWO-STAGE EXACT select: per-dt-plane top-K over the 225-candidate
      planes, then one top-K over the n_dt*K survivors.  Exact because the
      global top-K is contained in the union of per-plane top-Ks; the
-     survivor indices map back through the plane offsets.  Candidate win:
-     both stages sort far shorter rows (225 and 2100 vs 4725) and
-     `lax.top_k`'s cost is strongly super-linear in row length on TPU;
+     survivor indices map back through the plane offsets (result asserted
+     bit-equal to direct, including tie order: lax.top_k is stable and the
+     planes concatenate in dt order);
   c) the HBM roofline for one read of the candidate matrix (the lower
-     bound for ANY selection), using the measured copy bandwidth.
+     bound for ANY selection), from a measured on-device copy.
 
-Tie behavior: within a plane, per-plane top_k keeps ascending-index order
-among equals (lax.top_k is stable); concatenating planes in dt order then
-re-top_k preserves the SAME global tie order as the direct form, so the
-two-stage result is BIT-IDENTICAL including index ties (asserted here).
-
-Usage: python scripts/bench_topk_floor.py [--sites 26000]
+TIMING PROTOCOL: the axon tunnel's `block_until_ready` does not wait for
+device completion, and a forced 8-byte scalar read costs a ~20-25 ms round
+trip that would swamp sub-ms kernels — so every variant runs ITERS
+dependent iterations inside ONE jit (each iteration re-derives its input
+from the previous output) and is forced once; per-iteration cost =
+(t_chain - t_baseline_chain) / ITERS, where the baseline chain carries the
+same dependency structure without the top_k.
 """
 
 import _bootstrap  # noqa: F401
@@ -36,26 +37,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args, reps=5):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sites", type=int, default=26000)
     ap.add_argument("--n_dt", type=int, default=21)
     ap.add_argument("--ws2", type=int, default=225)
     ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -63,30 +51,21 @@ def main():
     from jax import lax
 
     s, n_dt, ws2, k = args.sites, args.n_dt, args.ws2, args.k
+    iters = args.iters
     n = n_dt * ws2
-    log(f"devices: {jax.devices()}  shape ({s}, {n}) -> {k}")
+    log(f"devices: {jax.devices()}  shape ({s}, {n}) -> {k}, "
+        f"iters {iters}")
 
     rng = np.random.default_rng(0)
     mv = jnp.asarray(rng.normal(size=(s, n)).astype(np.float32))
 
-    # HBM roofline: measured device copy bandwidth on the same array
-    cp = jax.jit(lambda x: x + 1.0)
-    t_copy, _ = timeit(cp, mv)
-    bw = 2 * mv.nbytes / t_copy                     # read + write
-    t_read = mv.nbytes / bw
-    log(f"copy {t_copy * 1e3:.2f} ms -> {bw / 1e9:.0f} GB/s; "
-        f"one-read roofline {t_read * 1e3:.2f} ms")
-
-    @jax.jit
     def direct(x):
         neg, sel = lax.top_k(-x, k)
         return -neg, sel
 
-    @jax.jit
     def two_stage(x):
         xp = x.reshape(s, n_dt, ws2)
         neg1, sel1 = lax.top_k(-xp, k)              # (S, n_dt, k)
-        # global candidate index of each survivor
         base = (jnp.arange(n_dt, dtype=jnp.int32) * ws2)[None, :, None]
         gidx = sel1 + base
         neg2, sel2 = lax.top_k(neg1.reshape(s, n_dt * k), k)
@@ -94,27 +73,75 @@ def main():
                                         sel2, axis=1)
         return -neg2, final_idx
 
+    def noop(x):
+        # same output shapes/dtypes and input traversal (a strided slice
+        # reads k columns), no selection work
+        return x[:, :k], x[:, :k].astype(jnp.int32)
+
+    def chain(body, dty):
+        @jax.jit
+        def run(x0):
+            acc = jnp.float32(0)
+            x = x0.astype(dty)
+            for _ in range(iters):
+                v, i = body(x)
+                d = jnp.sum(v.astype(jnp.float32)) + jnp.sum(
+                    i.astype(jnp.float32))
+                acc = acc + d
+                # derive the next input from this output: the chain
+                # serializes, so ITERS kernels run back-to-back on device
+                x = x0.astype(dty) + (acc * jnp.float32(1e-12))
+            return acc
+
+        return run
+
+    def timeit(run, reps=4):
+        _ = float(run(mv))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(mv))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_noop = {}
+    for name, dty in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        t_noop[name] = timeit(chain(noop, dty))
+        log(f"baseline chain {name}: {t_noop[name] / iters * 1e3:.2f} "
+            f"ms/iter (copy + slice + sums)")
+
     results = {}
-    for name, fn, x in (("direct_f32", direct, mv),
-                        ("direct_bf16", direct, mv.astype(jnp.bfloat16)),
-                        ("two_stage_f32", two_stage, mv),
-                        ("two_stage_bf16", two_stage,
-                         mv.astype(jnp.bfloat16))):
-        t, out = timeit(fn, x)
-        results[name] = (t, out)
-        log(f"{name:16s} {t * 1e3:8.2f} ms "
-            f"({t / t_read:.1f}x one-read roofline)")
+    for name, body, dk in (("direct_f32", direct, "f32"),
+                           ("direct_bf16", direct, "bf16"),
+                           ("two_stage_f32", two_stage, "f32"),
+                           ("two_stage_bf16", two_stage, "bf16")):
+        dty = jnp.float32 if dk == "f32" else jnp.bfloat16
+        t = timeit(chain(body, dty))
+        per = (t - t_noop[dk]) / iters
+        results[name] = per
+        log(f"{name:16s} {per * 1e3:8.2f} ms/iter over baseline")
+
+    # roofline: one full read of the candidate matrix at the measured
+    # on-device copy bandwidth (from the f32 baseline chain itself: each
+    # iter materializes x0 + eps = one read + one write of (S, n))
+    bw = 2 * mv.nbytes * iters / t_noop["f32"]
+    t_read = mv.nbytes / bw
+    log(f"measured stream bandwidth {bw / 1e9:.0f} GB/s -> one-read "
+        f"roofline {t_read * 1e3:.2f} ms")
 
     # exactness: two-stage == direct bitwise (values AND indices)
-    (dv, di), (tv, ti) = results["direct_f32"][1], results["two_stage_f32"][1]
+    dv, di = jax.jit(direct)(mv)
+    tv, ti = jax.jit(two_stage)(mv)
     np.testing.assert_array_equal(np.asarray(dv), np.asarray(tv))
     same_idx = float((np.asarray(di) == np.asarray(ti)).mean())
-    log(f"two-stage values bit-equal; index agreement {same_idx:.4f} "
-        f"(<1 only at exact value ties)")
+    log(f"two-stage values bit-equal; index agreement {same_idx:.4f}")
 
-    print("{" + ", ".join(
-        f'"{k_}": {v[0] * 1e3:.3f}' for k_, v in results.items())
-        + f', "roofline_ms": {t_read * 1e3:.3f}' + "}")
+    import json
+    print(json.dumps({**{k_: round(v * 1e3, 3)
+                         for k_, v in results.items()},
+                      "roofline_ms": round(t_read * 1e3, 3),
+                      "baseline_f32_ms": round(t_noop["f32"] / iters * 1e3,
+                                               3)}))
 
 
 if __name__ == "__main__":

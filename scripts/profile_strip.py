@@ -109,17 +109,29 @@ def main():
                 return out
             return jnp.sum(out[0]) + jnp.sum(out[1])
 
+        # axon tunnel: block_until_ready does not wait — force with a
+        # scalar read and subtract the measured round trip
+        trivial = jax.jit(lambda x: jnp.sum(x))
+        z8 = jnp.zeros((8, 8), jnp.float32)
+        float(trivial(z8))
+        def _timeone(fn):
+            t0 = time.perf_counter()
+            fn()
+            return time.perf_counter() - t0
+
+        rt = min(_timeone(lambda: float(trivial(z8))) for _ in range(8))
         for pu in ("search", ""):
-            fn = lambda: jax.block_until_ready(
-                run(n_tile, b_tile, sbj, vbj, gyj, br, coarse, prof_upto=pu))
+            fn = lambda: float(run(n_tile, b_tile, sbj, vbj, gyj, br,
+                                   coarse, prof_upto=pu))
             fn()
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 fn()
                 best = min(best, time.perf_counter() - t0)
+            best = max(best - rt, 0.0)
             print(f"stage {stage} strip {i} prof_upto={pu or 'FULL':7s}: "
-                  f"{best:.3f}s")
+                  f"{best:.3f}s  (rt {rt*1e3:.0f} ms subtracted)")
             sys.stdout.flush()
 
 

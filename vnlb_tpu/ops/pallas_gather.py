@@ -45,6 +45,61 @@ def _make_kernel(d):
     return _kernel
 
 
+_ROWPAD = 1024  # Mosaic 1-D HBM DMA slices must be 1024-element aligned
+
+
+def _make_kernel_padded(d):
+    def _kernel(rows_ref, cols_hbm, out_ref, sems):
+        i = pl.program_id(0)
+        copies = []
+        for j in range(_BM):
+            r = rows_ref[i * _BM + j]
+            cp = pltpu.make_async_copy(
+                cols_hbm.at[pl.ds(r * _ROWPAD, d)],
+                out_ref.at[j],
+                sems.at[j])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("d", "interpret"))
+def gather_rows_padded(cols_padded: jnp.ndarray, rows: jnp.ndarray,
+                       d: int, interpret: bool = False) -> jnp.ndarray:
+    """Row gather from a 1024-element-STRIDE arena (round-3 workaround for
+    the alignment blocker: pad the ARENA rows, keep the payload width d).
+
+    cols_padded: (N * 1024,) flat arena, row i at [i*1024, i*1024+d);
+    rows (M,) int32 -> (M, d).  Every DMA source offset r*1024 is
+    1024-aligned, so Mosaic's 1-D slice rule is satisfied; only d elements
+    per row move (the pad is never read).  Memory cost: 1024/d x the
+    arena — the evaluation in scripts/exp_pallas_gather2.py decides
+    whether any call site can afford that.
+    """
+    m = rows.shape[0]
+    mp = -(-m // _BM) * _BM
+    rows_p = jnp.pad(rows, (0, mp - m))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // _BM,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((_BM, d), lambda i, rows_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_BM,))],
+    )
+    out = pl.pallas_call(
+        _make_kernel_padded(d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, d), cols_padded.dtype),
+        interpret=interpret,
+    )(rows_p, cols_padded)
+    return out[:m]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_rows(cols: jnp.ndarray, rows: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
