@@ -1,5 +1,12 @@
 #!/usr/bin/env python
-"""Per-op TPU timing breakdown for the pipeline hot loop."""
+"""Per-op TPU timing breakdown for the pipeline hot loop.
+
+WARNING (axon tunnel): timings in this script rely on
+jax.block_until_ready, which does NOT wait for device completion
+on the tunneled backend — use the scalar-fetch protocol of
+scripts/profile_marginal.py / bench_480p_sp.py instead; this
+script is kept for its structure, not its absolute numbers.
+"""
 
 import _bootstrap  # noqa: F401
 import time

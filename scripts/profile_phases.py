@@ -4,6 +4,13 @@
 Times (per stage): dense search -> inds, im2col, the filter scan
 (gather+bayes+scatter), fold, and the full jitted pass, so kernel work can be
 aimed at the dominant phase (VERDICT round-1: filter phase ~70%).
+
+
+WARNING (axon tunnel): timings in this script rely on
+jax.block_until_ready, which does NOT wait for device completion
+on the tunneled backend — use the scalar-fetch protocol of
+scripts/profile_marginal.py / bench_480p_sp.py instead; this
+script is kept for its structure, not its absolute numbers.
 """
 
 import _bootstrap  # noqa: F401

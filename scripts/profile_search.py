@@ -4,6 +4,13 @@
 Times, per stage: the per-dt dense distance computation (Pallas kernel),
 the site-row gather + normalization, and the final top-K — so kernel work
 can be aimed at the dominant sub-phase (round-2: search is a top-3 phase).
+
+
+WARNING (axon tunnel): timings in this script rely on
+jax.block_until_ready, which does NOT wait for device completion
+on the tunneled backend — use the scalar-fetch protocol of
+scripts/profile_marginal.py / bench_480p_sp.py instead; this
+script is kept for its structure, not its absolute numbers.
 """
 
 import _bootstrap  # noqa: F401

@@ -138,6 +138,70 @@ def test_tile_search_offset_strip():
                      vtol=2e-3, tie=2e-3)
 
 
+def test_tile_search_offset_strip_needle():
+    """Offset strip + NEEDLE mode: the coarse pyramid rides GLOBAL frames
+    and global coordinates while level 0 runs in tile coordinates — the
+    combination the halo mesh runs in stage 0 (neither covered by the
+    whole-frame needle test nor the l2 offset test).  Same global-decode
+    protocol as test_tile_search_offset_strip; coarse distances are
+    bit-identical (shared full frames) so the tolerance stays the
+    tile-cumsum 2e-3."""
+    from vnlb_tpu.ops.search import _avg_pool2
+    from vnlb_tpu.ops.search_dense import exec_search_dense_tile
+
+    t, c, h, w = 4, 3, 96, 64
+    video = _mk(17, t=t, h=h, w=w)
+    cfg = default_config(20.0, preset="iphone").stage(0).replace(
+        nwt_b=2, nwt_f=2, npatches=16, stype="needle", border_mode="mask")
+    qrow0 = _phases(video.shape, cfg)
+    halo0 = (cfg.w_s - 1) // 2 + cfg.ps - 1
+    halo = halo0 + (halo0 % 2)              # parallel/halo._halo_rows
+    hs = 24
+    r0 = 48                                  # strip [48, 72)
+    base_row = r0 - halo
+    tile = video[:, :, base_row:r0 + hs + halo, :]
+
+    sites = lattice_sites(video.shape, cfg)
+    sel = (sites[:, 1] >= r0) & (sites[:, 1] < r0 + hs)
+    s_g = sites[sel]
+    s_l = s_g.copy()
+    s_l[:, 1] = s_g[:, 1] - base_row
+
+    v = jnp.asarray(video)
+    gv, gi = exec_search_dense(v, jnp.asarray(s_g), cfg, qrow0=qrow0)
+
+    # coarse pyramid: FULL frames, as _coarse_full_levels reconstructs
+    coarse = []
+    r = cfg.w_s + cfg.ps - 1
+    cur = v
+    for _ in range(1, cfg.needle_scales):
+        cur = _avg_pool2(cur)
+        if cur.shape[2] < r or cur.shape[3] < r:
+            break
+        coarse.append(cur)
+    assert coarse, "geometry must exercise >=1 coarse level"
+
+    hp_g = h - cfg.ps + 1
+    tv, ti = exec_search_dense_tile(jnp.asarray(tile), jnp.asarray(s_l),
+                                    jnp.asarray(s_g[:, 1]), cfg, qrow0,
+                                    jnp.int32(base_row), hp_g,
+                                    tuple(coarse))
+
+    def dec(ii, hh, y_off):
+        ii = np.asarray(ii).astype(np.int64)
+        chw = c * hh * w
+        f = ii // chw
+        rem = ii % (hh * w)
+        key = f * (10 ** 8) + (rem // w + y_off) * (10 ** 4) + rem % w
+        return np.where(ii < 0, -1, key)
+
+    g_key = dec(gi, h, 0)
+    t_key = dec(ti, tile.shape[2], base_row)
+    np.testing.assert_array_equal(g_key < 0, t_key < 0)
+    _tie_aware_match(np.asarray(tv), t_key, np.asarray(gv), g_key,
+                     vtol=2e-3, tie=2e-3)
+
+
 def test_strided_nonzero_phase_origin():
     """Chunked streaming passes t_origin: phases shift per frame."""
     video = _mk(11, t=4, h=46, w=46)
