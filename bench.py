@@ -203,7 +203,9 @@ def main():
     # logged, not swallowed.
     here = os.path.dirname(os.path.abspath(__file__))
     for fname, key in (("BENCH_1080P.json", "v5e8_1080p_fps_extrapolated"),
-                       ("BENCH_480P_SP.json", "v5e8_480p_fps_extrapolated")):
+                       ("BENCH_480P_SP.json", "v5e8_480p_fps_extrapolated"),
+                       ("BENCH_1080P_STREAM.json",
+                        "v5e8_1080p_100f_stream_wall_s")):
         path = os.path.join(here, fname)
         if not os.path.exists(path):
             continue

@@ -39,3 +39,22 @@ def test_pallas_gather_rows_matches_take():
     got = np.asarray(gather_rows(jnp.asarray(cols), jnp.asarray(rows),
                                  interpret=True))
     np.testing.assert_array_equal(got, cols[rows])
+
+
+def test_pallas_gather_rows_padded_matches_take():
+    """The 1024-element-stride padded-arena gather (the round-3 alignment
+    workaround, ops/pallas_gather.gather_rows_padded) — interpret-mode
+    correctness; the compiled-mode verdict lives in
+    scripts/exp_pallas_gather2.py."""
+    from vnlb_tpu.ops.pallas_gather import _ROWPAD, gather_rows_padded
+
+    rng = np.random.default_rng(13)
+    d = 147
+    cols = rng.normal(0, 1, (400, d)).astype(np.float32)
+    rows = rng.integers(0, 400, (300,)).astype(np.int32)
+    colsp = np.zeros((400, _ROWPAD), np.float32)
+    colsp[:, :d] = cols
+    got = np.asarray(gather_rows_padded(jnp.asarray(colsp.reshape(-1)),
+                                        jnp.asarray(rows), d,
+                                        interpret=True))
+    np.testing.assert_array_equal(got, cols[rows])
