@@ -124,7 +124,8 @@ def main():
     log(f"[480p-sp] shard_fn-direct per-chip walls: "
         f"{[f'{x:.3f}' for x in per_chip]}")
     log(f"[480p-sp] mesh wall (max) {mesh_wall:.3f}s -> "
-        f"extrapolated v5e-{args.ndev} 480p two-pass: {fps_direct:.2f} fps")
+        f"extrapolated v5e-{args.ndev} {args.h}p two-pass: "
+        f"{fps_direct:.2f} fps")
 
     # --- 2. strip-proxy (bench_1080p method) for the overhead factor ---
     strip_h = hs + 2 * halo
@@ -149,7 +150,7 @@ def main():
         f"{mesh_wall / best:.2f}x")
 
     rec = {
-        "metric": f"v5e{args.ndev}_480p_fps_extrapolated",
+        "metric": f"v5e{args.ndev}_{args.h}p_fps_extrapolated",
         "value": round(fps_direct, 4),
         "unit": "frames/sec",
         "method": "shard_fn-direct (strip_runner, device-resident "

@@ -69,9 +69,8 @@ def main():
     pall = chain(lambda c, r: gather_rows_padded(c, r, d))
 
     out_t = float(take(cols, rows0))
-    t0 = time.perf_counter()
+    best_t = None
     for _ in range(3):
-        best_t = None
         t0 = time.perf_counter()
         _ = float(take(cols, rows0))
         dt = time.perf_counter() - t0

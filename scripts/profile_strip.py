@@ -34,9 +34,9 @@ def main():
 
     from vnlb_tpu.config import default_config
     from vnlb_tpu.ops import color
-    from vnlb_tpu.ops.search import _avg_pool2
     from vnlb_tpu.ops.search_dense import exec_search_dense_tile
-    from vnlb_tpu.parallel.halo import (_plan_strip_sites, _strip_geometry)
+    from vnlb_tpu.parallel.halo import (_coarse_full_single,
+                                        _plan_strip_sites, _strip_geometry)
     from vnlb_tpu.pipeline import accumulate, proc_nl
     from vnlb_tpu.testing.data import add_noise, synthetic_video
 
@@ -72,18 +72,7 @@ def main():
         n_tile = jnp.asarray(tile_of(noisy_yuv))
         b_tile = jnp.asarray(tile_of(basic_yuv))
         cfgm = cfg.replace(border_mode="mask")
-        coarse = []
-        if cfgm.stype == "needle":
-            r = cfgm.w_s + cfgm.ps - 1
-            cur = jnp.asarray(srch_full)
-            for _ in range(1, cfgm.needle_scales):
-                if cur.shape[2] % 2 or cur.shape[3] % 2:
-                    break
-                cur = _avg_pool2(cur)
-                if cur.shape[2] < r or cur.shape[3] < r:
-                    break
-                coarse.append(cur)
-        coarse = tuple(coarse)
+        coarse = _coarse_full_single(jnp.asarray(srch_full), cfgm, hs)
         tile_shape = (t_len, c, hs + 2 * halo, w)
         hp_g = h_run - cfg.ps + 1
         sbj = jnp.asarray(sb[i])

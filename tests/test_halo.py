@@ -190,21 +190,33 @@ def test_fold_in_shardmap():
                                    np.asarray(deno_i), atol=1e-4)
 
 
-def test_strip_single_matches_mesh(clip):
+@pytest.mark.parametrize("geom", ["small", "coarse2"])
+def test_strip_single_matches_mesh(clip, geom):
     """The shard_map-free single-strip runner (proc_nl_strip_single +
     combine_strips) reproduces the mesh program's output — the per-shard
     wall measured on one real chip (scripts/bench_480p_sp.py) is therefore
     the wall of the code the mesh actually runs (round-4 judge item #1b).
 
+    geom='coarse2' uses (3, 88, 86): strips of 24 rows build TWO needle
+    coarse levels with an ODD pooled width (43) — the shape class where a
+    review caught strip_runner building fewer coarse levels than the mesh
+    (a width-parity break the mesh does not have; 5.6-gray-level
+    divergence before the fix, invisible at the 56x56 fixture).
+
     Tolerance: the two run the same per-tile graph, but XLA fuses the
     standalone jit differently from the shard_map body, so the bf16
     candidate planes round differently and near-tie top-K picks can swap
-    (measured: max 0.11 gray levels on this clip) — the same effect and
-    the same pin as the seam tests (_assert_close), plus a tight mean.
+    (measured: max 0.11 gray levels on the small clip) — the same effect
+    and the same pin as the seam tests (_assert_close), plus a tight mean.
     """
     from vnlb_tpu.parallel.halo import combine_strips, proc_nl_strip_single
 
-    noisy, zf = clip
+    if geom == "small":
+        noisy, zf = clip
+    else:
+        clean = synthetic_video(3, 88, 86, seed=15)
+        noisy = add_noise(clean, 20.0, seed=16)
+        zf = np.zeros((3, 2, 88, 86), np.float32)
     ndev = 4
     cfg = default_config(20.0, preset="iphone").stage(0).replace(
         border_mode="mask", bsize=32)

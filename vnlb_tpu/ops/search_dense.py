@@ -354,6 +354,7 @@ def exec_search_dense_tile(tile, sites_local, gy, cfg: StageConfig, qrow0,
     gmax, _, rowpad, _, ncpad = tile_smat_layout(hp_t, wp, step)
     level_fns = []          # [(per_dt -> (F, ws2, RT, NC), rows, pos)]
     if use_pallas:
+        interp = jax.default_backend() != "tpu"
         vc = tile[:, :cfg.dist_chnls]
 
         def stack_pt(x):
@@ -368,7 +369,8 @@ def exec_search_dense_tile(tile, sites_local, gy, cfg: StageConfig, qrow0,
         def per_dt0(dt, _vc=vc, _vq=vq, _sy=sy):
             vd = stack_pt(jnp.roll(_vc, -dt, axis=0))
             return smat_distances_dt_tile(_vq, vd, _sy, ps, w_s, step,
-                                          gmax, rowpad, ncpad)
+                                          gmax, rowpad, ncpad,
+                                          interpret=interp)
     else:
         # XLA fallback: traced selection out of the dense tile planes
         # (bit-equal values; only the layout changes)

@@ -385,22 +385,7 @@ def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh,
             f"{n_dev} devices (halo includes flow margin {margin}); use "
             f"fewer devices or a taller video")
 
-    # strip-height requirement: even (tile 2x-pooling parity) and, in
-    # needle mode, divisible by 2^l for every coarse level l that the
-    # global pyramid actually builds — per-strip pooling of an odd strip
-    # truncates rows and shifts every seam (round-2 advisor finding)
-    mult = 2
-    if cfg.stype == "needle":
-        r = cfg.w_s + cfg.ps - 1
-        for lvl in range(1, cfg.needle_scales):
-            if (h >> lvl) >= r and (w >> lvl) >= r:
-                mult = max(mult, 2 ** lvl)
-
-    def _rup(x, m):
-        return -(-x // m) * m
-
-    hs = max(_rup(-(-h // n_dev), mult), _rup(halo, mult))
-    h_run = hs * n_dev
+    _, hs, h_run = _strip_geometry(shape, cfg, n_dev, margin)
     if h_run != h:
         pad = h_run - h
         noisy_np = np.pad(noisy_np, ((0, 0), (0, 0), (0, pad), (0, 0)),
@@ -430,12 +415,19 @@ def proc_nl_halo(noisy, basic, fflow, bflow, cfg: StageConfig, mesh: Mesh,
     return out[:, :, :h, :] if h_run != h else out
 
 
-def _strip_geometry(shape, cfg: StageConfig, n_dev: int):
-    """Host-side mirror of ``proc_nl_halo``'s zero-flow padding rule.
+def _strip_geometry(shape, cfg: StageConfig, n_dev: int, margin: int = 0):
+    """``proc_nl_halo``'s strip/padding rule (the ONLY copy — the mesh
+    entry point and the shard_map-free ``strip_runner`` both call this, so
+    their geometries cannot drift).
 
-    Returns (halo, hs, h_run) for a given global shape and device count."""
+    Strip-height requirement: even (tile 2x-pooling parity) and, in needle
+    mode, divisible by 2^l for every coarse level l that the global
+    pyramid actually builds — per-strip pooling of an odd strip truncates
+    rows and shifts every seam (round-2 advisor finding).
+
+    Returns (halo, hs, h_run)."""
     _, _, h, w = shape
-    halo = _halo_rows(cfg, 0)
+    halo = _halo_rows(cfg, margin)
     mult = 2
     if cfg.stype == "needle":
         r = cfg.w_s + cfg.ps - 1
@@ -448,6 +440,36 @@ def _strip_geometry(shape, cfg: StageConfig, n_dev: int):
 
     hs = max(_rup(-(-h // n_dev), mult), _rup(halo, mult))
     return halo, hs, hs * n_dev
+
+
+def _coarse_full_single(srch_full: jnp.ndarray, cfg: StageConfig,
+                        hs: int):
+    """Shard_map-free twin of ``_coarse_full_levels``: the coarse pyramid
+    one device ends up holding after the per-strip pool + all_gather, built
+    by pooling the FULL frame (bit-identical when every strip pools evenly).
+
+    Mirrors the mesh's level gating EXACTLY: a level is built while the
+    per-strip height still halves evenly (width parity is irrelevant —
+    ``_avg_pool2`` truncates odd widths identically for strips and full
+    frames) and the pooled full frame still fits a search region.  A
+    width-parity break here once dropped the 480p level-2 coarse work from
+    the benched graph (caught by review; pinned by the W=86 case of
+    tests/test_halo.py::test_strip_single_matches_mesh)."""
+    if cfg.stype != "needle":
+        return ()
+    r = cfg.w_s + cfg.ps - 1
+    levels = []
+    cur_hs = hs
+    cur = srch_full
+    for _ in range(1, cfg.needle_scales):
+        if cur_hs % 2:
+            break
+        cur_hs //= 2
+        cur = _avg_pool2(cur)
+        if cur.shape[2] < r or cur.shape[3] < r:
+            break
+        levels.append(cur)
+    return tuple(levels)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_shape", "hp_g",
@@ -472,11 +494,23 @@ def _strip_tile_jit(n_tile, b_tile, sb, vb, gyb, base_row, coarse,
     cfgm = cfg.replace(border_mode="mask")
     srch_tile = b_tile if cfg.srch_img == "basic" else n_tile
 
-    def dense_fn(srch, dense_sites):
-        s_flat = dense_sites.reshape(-1, 3)
-        gy_flat = gyb.reshape(-1)
-        return exec_search_dense_tile(srch, s_flat, gy_flat, cfgm, qrow0,
-                                      base_row, hp_g, coarse)
+    if qrow0 is not None:
+        def dense_fn(srch, dense_sites):
+            s_flat = dense_sites.reshape(-1, 3)
+            gy_flat = gyb.reshape(-1)
+            return exec_search_dense_tile(srch, s_flat, gy_flat, cfgm,
+                                          qrow0, base_row, hp_g, coarse)
+    else:
+        # legacy all-rows path — mirrors shard_fn's gate (topk='stream'
+        # low-memory mode / dense_rows='full' verification)
+        y_lo = -base_row
+        y_hi = jnp.int32(hp_g - 1) - base_row
+
+        def dense_fn(srch, dense_sites):
+            s_flat = dense_sites.reshape(-1, 3)
+            gy_flat = gyb.reshape(-1)
+            return _search_dense_halo(srch, coarse, s_flat, gy_flat,
+                                      cfgm, y_lo, y_hi)
 
     return accumulate(n_tile, b_tile, srch_tile, None, None, sb, vb, cfgm,
                       tile_shape, axis_name=None,
@@ -518,9 +552,13 @@ def strip_runner(noisy, basic, cfg: StageConfig, n_dev: int,
         shape = (t_len, c, h_run, w)
 
     sb, vb, gy = _plan_strip_sites(shape, cfg, n_dev, halo, t_origin)
-    end_t = t_len - cfg.pt + 1
-    qrow0 = tuple(((f + t_origin) % cfg.step_s) if f < end_t - 1 else 0
-                  for f in range(end_t))
+    # same production-path gate as proc_nl_halo: the legacy all-rows path
+    # serves the low-memory streaming top-K and verification modes
+    qrow0 = None
+    if cfg.dense_rows != "full" and cfg.topk == "exact":
+        end_t = t_len - cfg.pt + 1
+        qrow0 = tuple(((f + t_origin) % cfg.step_s) if f < end_t - 1 else 0
+                      for f in range(end_t))
 
     noisy_yuv = np.asarray(color.rgb2yuv(jnp.asarray(noisy_np)))
     basic_yuv = np.asarray(color.rgb2yuv(jnp.asarray(basic_np)))
@@ -536,19 +574,8 @@ def strip_runner(noisy, basic, cfg: StageConfig, n_dev: int,
     b_tile = jnp.asarray(tile_of(basic_yuv))
     srch_full = basic_yuv if cfg.srch_img == "basic" else noisy_yuv
 
-    cfgm = cfg.replace(border_mode="mask")
-    coarse = []
-    if cfgm.stype == "needle":
-        r = cfgm.w_s + cfgm.ps - 1
-        cur = jnp.asarray(srch_full)
-        for _ in range(1, cfgm.needle_scales):
-            if cur.shape[2] % 2 or cur.shape[3] % 2:
-                break
-            cur = _avg_pool2(cur)
-            if cur.shape[2] < r or cur.shape[3] < r:
-                break
-            coarse.append(cur)
-    coarse = tuple(coarse)
+    coarse = _coarse_full_single(jnp.asarray(srch_full),
+                                 cfg.replace(border_mode="mask"), hs)
 
     tile_shape = (t_len, c, hs + 2 * halo, w)
     args = (n_tile, b_tile, jnp.asarray(sb[strip_idx]),
