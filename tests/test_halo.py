@@ -190,7 +190,7 @@ def test_fold_in_shardmap():
                                    np.asarray(deno_i), atol=1e-4)
 
 
-@pytest.mark.parametrize("geom", ["small", "coarse2"])
+@pytest.mark.parametrize("geom", ["small", "coarse2", "stream"])
 def test_strip_single_matches_mesh(clip, geom):
     """The shard_map-free single-strip runner (proc_nl_strip_single +
     combine_strips) reproduces the mesh program's output — the per-shard
@@ -220,6 +220,11 @@ def test_strip_single_matches_mesh(clip, geom):
     ndev = 4
     cfg = default_config(20.0, preset="iphone").stage(0).replace(
         border_mode="mask", bsize=32)
+    if geom == "stream":
+        # topk='stream' gates OFF the one-shot tile path in BOTH the mesh
+        # and the runner (qrow0=None -> legacy all-rows search); the
+        # runner must mirror that gate (review finding #4)
+        cfg = cfg.replace(topk="stream")
     mesh = make_mesh(ndev, axis="h")
     want = np.asarray(proc_nl_halo(noisy, None, zf, zf, cfg, mesh))
 
