@@ -162,9 +162,8 @@ def _search_dense_halo(tile, coarse_videos, sites_local, sites_global_y,
         cand = jnp.where(oob, jnp.inf, cand)
         all_vals.append(cand)
 
-    mv = jnp.concatenate(all_vals, axis=1)
-    neg, sel = lax.top_k(-mv, k)
-    vals = -neg
+    from ..ops.search_dense import topk_planes
+    vals, sel = topk_planes(all_vals, k)
 
     dt_i = sel // (w_s * w_s) + dt_lo
     rem = sel % (w_s * w_s)
