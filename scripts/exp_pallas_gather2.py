@@ -11,6 +11,14 @@ Memory cost of the pad: 1024/588 = 1.74x the (already bf16) arena.
 
 Run on the real chip; prints ns/row for jnp.take vs the padded-DMA kernel
 (dispatch-amortized: ITERS dependent gathers inside one jit).
+
+VERDICT (v5e-1, 2026-08-20): STILL BLOCKED.  jnp.take measures 283 ns/row
+at the call-site shape; the 1024-stride padded kernel fails in the axon
+remote Mosaic compiler with an opaque INTERNAL error (tpu_compile_helper
+subprocess exit 1 — the helper crashes before emitting a diagnostic, so
+the 1-D-HBM alignment workaround cannot even be evaluated through this
+tunnel).  Third attempt: a TILE-SHAPED (N, sub, 128) arena whose per-row
+DMA is a leading-dim (whole-tile) slice — scripts/exp_pallas_gather3.py.
 """
 
 import _bootstrap  # noqa: F401

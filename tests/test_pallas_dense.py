@@ -58,3 +58,23 @@ def test_pallas_gather_rows_padded_matches_take():
                                         jnp.asarray(rows), d,
                                         interpret=True))
     np.testing.assert_array_equal(got, cols[rows])
+
+
+def test_pallas_gather_rows_tiled_matches_take():
+    """The tile-shaped-arena gather (third attempt at the Mosaic blocker,
+    ops/pallas_gather.gather_rows_tiled: rows ARE (8,128) tiles so every
+    DMA is a leading-dim whole-tile slice) — interpret-mode correctness;
+    the compiled-mode verdict (compiles, 0.92x take) lives in
+    scripts/exp_pallas_gather3.py."""
+    from vnlb_tpu.ops.pallas_gather import gather_rows_tiled
+
+    rng = np.random.default_rng(14)
+    d, sub = 147, 8
+    cols = rng.normal(0, 1, (400, d)).astype(np.float32)
+    rows = rng.integers(0, 400, (300,)).astype(np.int32)
+    colsp = np.zeros((400, sub * 128), np.float32)
+    colsp[:, :d] = cols
+    got = np.asarray(gather_rows_tiled(
+        jnp.asarray(colsp.reshape(400, sub, 128)), jnp.asarray(rows),
+        interpret=True)).reshape(300, sub * 128)[:, :d]
+    np.testing.assert_array_equal(got, cols[rows])

@@ -100,6 +100,58 @@ def gather_rows_padded(cols_padded: jnp.ndarray, rows: jnp.ndarray,
     return out[:m]
 
 
+def _make_kernel_tiled(sub, lanes):
+    def _kernel(rows_ref, cols_hbm, out_ref, sems):
+        i = pl.program_id(0)
+        copies = []
+        for j in range(_BM):
+            r = rows_ref[i * _BM + j]
+            cp = pltpu.make_async_copy(
+                cols_hbm.at[r],
+                out_ref.at[j],
+                sems.at[j])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows_tiled(cols3: jnp.ndarray, rows: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Row gather from a TILE-SHAPED arena: cols3 is (N, sub, 128) with
+    sub = one hardware tile of sublanes (8 for f32, 16 for bf16), so each
+    row IS one (sub, 128) tile and ``cols3.at[r]`` is a leading-dim slice
+    — tile-aligned by construction, no 1-D alignment rule in play (the
+    third attempt at the Mosaic blocker; see module docstring).
+
+    rows (M,) int32 -> (M, sub, 128); the caller reshapes to (M, sub*128)
+    and slices its payload width d.  Memory cost: sub*128/d x the arena."""
+    m = rows.shape[0]
+    n, sub, lanes = cols3.shape
+    mp = -(-m // _BM) * _BM
+    rows_p = jnp.pad(rows, (0, mp - m))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // _BM,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((_BM, sub, lanes),
+                               lambda i, rows_ref: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_BM,))],
+    )
+    out = pl.pallas_call(
+        _make_kernel_tiled(sub, lanes),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, sub, lanes), cols3.dtype),
+        interpret=interpret,
+    )(rows_p, cols3)
+    return out[:m]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_rows(cols: jnp.ndarray, rows: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
