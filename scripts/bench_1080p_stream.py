@@ -48,7 +48,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=12)
     ap.add_argument("--frames", type=int, default=100)
-    ap.add_argument("--ndev", type=int, default=8)
+    ap.add_argument("--ndev", type=int, default=8,
+                    help="number of STRIPS (sub-strips when > --chips)")
+    ap.add_argument("--chips", type=int, default=None,
+                    help="physical chips; each runs ndev/chips sub-strips "
+                         "SEQUENTIALLY per chunk (the 54-frame exact-ctx "
+                         "window OOMs 16 GB HBM at 8-strip tiles — "
+                         "measured 33.25G program at 164-row tiles — so "
+                         "v5e-8 runs narrower strips in sequence)")
     ap.add_argument("--sigma", type=float, default=20.0)
     ap.add_argument("--step_s", type=int, default=6)
     ap.add_argument("--h", type=int, default=1080)
@@ -78,8 +85,19 @@ def main():
     log(f"[1080p-stream] window {win}f (chunk {args.chunk} + 2*ctx {ctx}), "
         f"{n_chunks} chunks/pass, strips {hs}+2*{halo} rows x {args.w}")
 
-    clean = synthetic_video(win, args.h, args.w, seed=0)
-    noisy = add_noise(clean, args.sigma, seed=1)
+    # host-side generation of a 54f 1080p clip costs many minutes of
+    # numpy; cache it so reruns (tunnel stalls, compile-budget kills)
+    # skip straight to the device work
+    import os
+    cache = (f"/tmp/vnlb_stream_noisy_{win}_{args.h}_{args.w}_"
+             f"{args.sigma:g}.npy")
+    if os.path.exists(cache):
+        noisy = np.load(cache)
+        log(f"[1080p-stream] loaded cached noisy {cache}")
+    else:
+        clean = synthetic_video(win, args.h, args.w, seed=0)
+        noisy = add_noise(clean, args.sigma, seed=1)
+        np.save(cache, noisy)
     basic_standin = noisy  # wall is shape-determined; see module docstring
 
     comb = jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b))
@@ -112,16 +130,19 @@ def main():
             walls[stage][i] = best
             log(f"[1080p-stream] stage {stage} strip {i}: {best:.3f}s")
 
-    per_chip = {i: walls[0][i] + walls[1][i] for i in strips}
-    chunk_wall = max(per_chip.values())
+    chips = args.chips or args.ndev
+    seq = -(-args.ndev // chips)          # sub-strips per chip, sequential
+    per_strip = {i: walls[0][i] + walls[1][i] for i in strips}
+    chunk_wall = seq * max(per_strip.values())
     total = n_chunks * chunk_wall
     fps = args.frames / total
-    log(f"[1080p-stream] worst strip chunk wall {chunk_wall:.3f}s -> "
-        f"{n_chunks} chunks -> {total:.1f}s for {args.frames}f 1080p "
-        f"({fps:.2f} fps) extrapolated v5e-{args.ndev}")
+    log(f"[1080p-stream] worst strip {max(per_strip.values()):.3f}s x "
+        f"{seq} sequential sub-strips/chip -> chunk wall {chunk_wall:.3f}s "
+        f"-> {n_chunks} chunks -> {total:.1f}s for {args.frames}f 1080p "
+        f"({fps:.2f} fps) extrapolated v5e-{chips}")
 
     rec = {
-        "metric": f"v5e{args.ndev}_1080p_{args.frames}f_stream_wall_s",
+        "metric": f"v5e{chips}_1080p_{args.frames}f_stream_wall_s",
         "value": round(total, 2),
         "unit": "seconds",
         "fps": round(fps, 4),
@@ -129,6 +150,10 @@ def main():
         "ctx": ctx,
         "window_frames": win,
         "n_chunks_per_pass": n_chunks,
+        "n_strips": args.ndev,
+        "substrips_per_chip_sequential": seq,
+        "strip_rows": hs,
+        "halo_rows": halo,
         "chunk_wall_s": round(chunk_wall, 4),
         "stage0_walls_s": {str(i): round(v, 4)
                            for i, v in walls[0].items()},
@@ -139,7 +164,11 @@ def main():
                   "timed with stand-in basic (shape-determined wall)",
         "assumption": "collectives free on ICI; host basic assembly "
                       "between passes excluded (~ms/chunk numpy); tunnel "
-                      "round-trip (rt_ms) subtracted from every wall",
+                      "round-trip (rt_ms) subtracted from every wall; "
+                      "when n_strips > chips, each chip runs its "
+                      "sub-strips SEQUENTIALLY per chunk (the exact-ctx "
+                      "54f window needs 33.25G HBM at 164-row tiles — "
+                      "measured OOM — so v5e-8 uses narrower strips)",
         "rt_ms": None,
         "date": time.strftime("%Y-%m-%d"),
     }
